@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the engine.
+
+Local mode is the test/bench proxy for a multi-executor cluster; every knob
+here is chosen so the same code scales on 1000 executors:
+
+- AQE on (runtime coalescing + skew-join splitting),
+- Arrow on (all custom kernels are Arrow-batched pandas UDFs),
+- shuffle partitions sized to cores locally (on a real cluster this is
+  ``max(2 x total-cores, input-partitions)`` — AQE coalesces down),
+- UTC session timezone (spine arithmetic must be tz-stable),
+- parquet vectorized reader + pushdown left at defaults (on).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "olympian_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # local proxy: 2x cores. On a real cluster this would be sized to
+        # the stage's input (AQE coalesces the excess).
+        shuffle_partitions = max(2 * cores, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # grouped kernels stream per-group Arrow batches; 10k rows/batch keeps
+        # python worker memory flat even for hot groups
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
