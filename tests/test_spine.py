@@ -1,0 +1,102 @@
+"""Spine gap-fill + LOCF invariants (Tier C, SURVEY §5):
+
+- spine length = floor((max_ts - min_ts)/period) + 1 per series
+- every observed (slot, value) is preserved; unobserved slots are NULL
+- LOCF is idempotent and leaves leading gaps NULL
+- calendar grain 'month' is calendar-aware (28/30/31-day steps)
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from olympian_spark.operators.spine import gap_fill, locf
+
+
+@pytest.fixture(scope="module")
+def obs_df(spark):
+    rows = [
+        # series a: 60s period-ish observations with a 5-slot hole
+        ("a", dt.datetime(2024, 1, 1, 0, 0, 30), 1.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 1, 30), 2.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 7, 30), 3.0),
+        # two obs in one slot: slot takes the later one
+        ("a", dt.datetime(2024, 1, 1, 0, 7, 40), 4.0),
+        # series b: single observation
+        ("b", dt.datetime(2024, 1, 2, 12, 0, 0), 9.0),
+    ]
+    return None, rows
+
+
+def test_fixed_period_spine(spark, obs_df):
+    _, rows = obs_df
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, value float")
+    out = gap_fill(df, period_s=60).orderBy("conv_id", "spine_idx").collect()
+    a = [r for r in out if r.conv_id == "a"]
+    b = [r for r in out if r.conv_id == "b"]
+    # a spans 0:00:30 .. 0:07:40 -> floor(430/60)+1 = 8 slots
+    assert len(a) == 8
+    assert [r.spine_idx for r in a] == list(range(8))
+    # anchored at first obs
+    assert a[0].spine_ts == dt.datetime(2024, 1, 1, 0, 0, 30)
+    assert a[1].spine_ts == dt.datetime(2024, 1, 1, 0, 1, 30)
+    vals = [r.value for r in a]
+    assert vals[0] == 1.0 and vals[1] == 2.0
+    assert vals[2:7] == [None] * 5
+    assert vals[7] == 4.0  # last obs wins the shared slot
+    assert len(b) == 1 and b[0].value == 9.0
+
+
+def test_locf_and_idempotence(spark, obs_df):
+    _, rows = obs_df
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, value float")
+    sp = gap_fill(df, period_s=60)
+    f1 = locf(sp, "value", "conv_id", "spine_idx", out_col="v1")
+    f2 = locf(f1, "v1", "conv_id", "spine_idx", out_col="v2")
+    rows2 = f2.filter("conv_id = 'a'").orderBy("spine_idx").collect()
+    assert [r.v1 for r in rows2] == [1.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 4.0]
+    assert [r.v1 for r in rows2] == [r.v2 for r in rows2]  # idempotent
+
+
+def test_leading_gap_stays_null(spark):
+    df = spark.createDataFrame(
+        [
+            ("x", dt.datetime(2024, 1, 1, 0, 0, 0), None),
+            ("x", dt.datetime(2024, 1, 1, 0, 2, 0), 5.0),
+        ],
+        "conv_id string, ts timestamp, value float",
+    )
+    out = (
+        locf(gap_fill(df, period_s=60), "value", "conv_id", "spine_idx")
+        .orderBy("spine_idx")
+        .collect()
+    )
+    assert [r.value_locf for r in out] == [None, None, 5.0]
+
+
+def test_calendar_month_grain(spark):
+    # chronoutil RelativeDuration '1 month' semantics (util/mod.rs:44-45):
+    # steps are calendar months, not fixed seconds
+    df = spark.createDataFrame(
+        [
+            ("m", dt.datetime(2024, 1, 15), 1.0),
+            ("m", dt.datetime(2024, 4, 2), 4.0),
+        ],
+        "conv_id string, ts timestamp, value float",
+    )
+    out = gap_fill(df, grain="month").orderBy("spine_idx").collect()
+    assert [r.spine_ts.month for r in out] == [1, 2, 3, 4]
+    assert [r.value for r in out] == [1.0, None, None, 4.0]
+
+
+def test_scale_guard(spark):
+    df = spark.createDataFrame(
+        [
+            ("g", dt.datetime(2020, 1, 1), 1.0),
+            ("g", dt.datetime(2024, 1, 1), 2.0),
+        ],
+        "conv_id string, ts timestamp, value float",
+    )
+    with pytest.raises(ValueError, match="slots"):
+        gap_fill(df, period_s=1, max_slots_per_series=1_000_000)
