@@ -1,0 +1,64 @@
+"""Gorilla block codec: lossless roundtrip property (Tier C, hypothesis) +
+compression sanity on realistic turn streams."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from olympian_spark.functions.gorilla import decode_block, encode_block
+
+
+def _roundtrip(ts, streams):
+    ts = np.asarray(ts, dtype=np.int64)
+    streams = [np.asarray(s, dtype=np.float32) for s in streams]
+    buf = encode_block(ts, streams)
+    ts2, streams2 = decode_block(buf)
+    assert ts2.tolist() == ts.tolist()
+    for a, b in zip(streams, streams2):
+        # bit-exact incl. NaN payloads
+        assert a.view(np.uint32).tolist() == b.view(np.uint32).tolist()
+    return buf
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**7), min_size=0, max_size=200),
+    st.lists(
+        st.floats(width=32, allow_nan=True, allow_infinity=True), min_size=0, max_size=200
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_roundtrip_property(gaps, floats):
+    n = min(len(gaps), len(floats))
+    ts = 1_700_000_000_000_000 + np.cumsum(np.asarray(gaps[:n], dtype=np.int64))
+    _roundtrip(ts, [np.asarray(floats[:n], dtype=np.float32)])
+
+
+def test_empty_and_singleton():
+    _roundtrip([], [[]])
+    _roundtrip([123456], [[3.14]])
+    _roundtrip([1, 1], [[float("nan"), float("nan")]])
+
+
+def test_multi_stream_and_nan_gaps():
+    ts = np.arange(100, dtype=np.int64) * 60_000_000 + 1_700_000_000_000_000
+    gap = np.random.default_rng(3).normal(60, 5, 100).astype(np.float32)
+    gap[::7] = np.nan  # gaps carried as NaN
+    tl = np.random.default_rng(4).integers(0, 500, 100).astype(np.float32)
+    _roundtrip(ts, [gap, tl])
+
+
+def test_compression_ratio_on_regular_stream():
+    """Regular cadence + slowly varying stats: the Gorilla sweet spot."""
+    n = 1000
+    ts = 1_700_000_000_000_000 + np.arange(n, dtype=np.int64) * 30_000_000
+    vals = np.full(n, 42.5, dtype=np.float32)
+    buf = encode_block(ts, [vals])
+    raw = n * (8 + 4)
+    assert len(buf) < raw / 8, f"expected >8x compression, got {raw / len(buf):.1f}x"
+
+
+def test_negative_dod_and_large_jumps():
+    ts = np.array(
+        [0, 10, 15, 100000, 100001, 100002, 2**40, 2**40 + 1], dtype=np.int64
+    )
+    _roundtrip(ts, [np.arange(8, dtype=np.float32)])
