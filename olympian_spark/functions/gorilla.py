@@ -89,6 +89,80 @@ class _BitReader:
         return w >> (64 - k)
 
 
+_SMALL_N = 256  # below this, Python-int packing beats numpy fixed overhead
+
+
+def _pack_py(codes: list[int], lens: list[int]) -> bytes:
+    """Small-block packer: accumulate into one Python int (MSB-first)."""
+    acc = 1  # sentinel top bit so leading zeros survive to_bytes
+    for c, l_ in zip(codes, lens):
+        acc = (acc << l_) | c
+    nbits = acc.bit_length() - 1
+    pad = (-nbits) % 8
+    acc = (acc << pad) & ((1 << (nbits + pad)) - 1)  # drop sentinel, byte-align
+    return acc.to_bytes((nbits + pad) // 8, "big")
+
+
+def _encode_ts_small(ts: np.ndarray) -> bytes:
+    n = ts.size
+    t = ts.tolist()
+    codes = [(t[0] >> 32) & 0xFFFFFFFF, t[0] & 0xFFFFFFFF]
+    lens = [32, 32]
+    if n >= 2:
+        d = (t[1] - t[0]) & 0xFFFFFFFFFFFFFFFF
+        codes += [d >> 32, d & 0xFFFFFFFF]
+        lens += [32, 32]
+    prev_delta = t[1] - t[0] if n >= 2 else 0
+    for i in range(2, n):
+        delta = t[i] - t[i - 1]
+        dod = delta - prev_delta
+        prev_delta = delta
+        if dod == 0:
+            codes.append(0)
+            lens.append(1)
+        elif -63 <= dod <= 64:
+            codes.append((0b10 << 7) | (dod + 63))
+            lens.append(9)
+        elif -255 <= dod <= 256:
+            codes.append((0b110 << 9) | (dod + 255))
+            lens.append(12)
+        elif -2047 <= dod <= 2048:
+            codes.append((0b1110 << 12) | (dod + 2047))
+            lens.append(16)
+        else:
+            codes.append(0b1111)
+            lens.append(4)
+            codes.append(dod & 0xFFFFFFFFFFFFFFFF)
+            lens.append(64)
+    return _pack_py(codes, lens)
+
+
+def _encode_floats_small(vals: np.ndarray) -> bytes:
+    """Small-stream XOR encoder (Python ints, with window reuse)."""
+    bits = vals.view(np.uint32).tolist()
+    codes = [bits[0]]
+    lens = [32]
+    prev = bits[0]
+    lead_w = len_w = -1
+    for cur in bits[1:]:
+        x = prev ^ cur
+        prev = cur
+        if x == 0:
+            codes.append(0)
+            lens.append(1)
+            continue
+        lead = 32 - x.bit_length()
+        trail = (x & -x).bit_length() - 1
+        if lead_w >= 0 and lead >= lead_w and (32 - lead_w - len_w) <= trail:
+            codes.append((0b10 << len_w) | (x >> (32 - lead_w - len_w)))
+            lens.append(2 + len_w)
+        else:
+            lead_w, len_w = lead, 32 - lead - trail
+            codes.append((((0b11 << 5 | lead) << 5 | (len_w - 1)) << len_w) | (x >> trail))
+            lens.append(12 + len_w)
+    return _pack_py(codes, lens)
+
+
 def _encode_ts(ts: np.ndarray) -> bytes:
     n = ts.size
     codes = []
@@ -238,15 +312,16 @@ def encode_block(ts_us: np.ndarray, streams: list[np.ndarray]) -> bytes:
     (NaN = gap). All streams must have len(ts_us)."""
     ts = np.ascontiguousarray(ts_us, dtype=np.int64)
     n = ts.size
+    small = n < _SMALL_N
     parts = [MAGIC, struct.pack("<BI", len(streams), n)]
-    tsb = _encode_ts(ts) if n else b""
+    tsb = (_encode_ts_small(ts) if small else _encode_ts(ts)) if n else b""
     parts.append(struct.pack("<I", len(tsb)))
     parts.append(tsb)
     for s in streams:
         s = np.ascontiguousarray(s, dtype=np.float32)
         if s.size != n:
             raise ValueError("stream length mismatch")
-        sb = _encode_floats(s) if n else b""
+        sb = (_encode_floats_small(s) if small else _encode_floats(s)) if n else b""
         parts.append(struct.pack("<I", len(sb)))
         parts.append(sb)
     return b"".join(parts)

@@ -1,0 +1,85 @@
+"""End-to-end rollup pipeline (SURVEY §3.4).
+
+transcripts
+  -> stage 1 (shuffle on conv_id): stable turn ordering + derived metrics
+     (turn_gap_s, text_len) + step/dip/flatline QC flags — all in ONE window
+     stage: every window uses the same (conv_id | turn_idx) spec, so Catalyst
+     plans a single Exchange + Sort and evaluates the flags in one pass
+  -> stage 2 (shuffle on (conv_id, 1m bucket)): tier-1m Arrow kernel —
+     f32 measures + exact p95 + Gorilla block
+  -> stage 3/4: 1h from 1m, 1d from 1h (partial+final decomposition; p95
+     from decoded blocks)
+  -> dimension rollups (role/tool) straight from stage 1 output.
+
+QC policy: dip_check FAIL excludes a turn from measures (spike = bad
+latency sample); step/flatline flags are carried for flag-distribution
+reporting. All thresholds are explicit parameters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from olympian_spark.operators.qc_series import dip_flag, step_flag, with_flatline_flag
+from olympian_spark.operators.rollup import (
+    rollup_1m,
+    rollup_by_dimension,
+    rollup_coarser,
+)
+from olympian_spark.sources.transcripts import with_turn_metrics
+
+
+@dataclass
+class QcParams:
+    step_high: float = 3600.0  # gap jump [s] flagged Warn (reference bug: Warn first)
+    step_max: float = 21600.0
+    dip_high: float = 1800.0
+    dip_max: float = 7200.0
+    flatline_min_run: int = 8
+
+
+def qc_flags(df: DataFrame, params: QcParams = QcParams()) -> DataFrame:
+    """Stage-1 output: metrics + all QC flag columns on the turn stream."""
+    m = with_turn_metrics(df)
+    m = m.withColumn(
+        "flag_step",
+        step_flag("turn_gap_s", "conv_id", "turn_idx", params.step_high, params.step_max),
+    ).withColumn(
+        "flag_dip",
+        dip_flag("turn_gap_s", "conv_id", "turn_idx", params.dip_high, params.dip_max),
+    )
+    return with_flatline_flag(
+        m, "turn_gap_s", "conv_id", "turn_idx", params.flatline_min_run
+    )
+
+
+def build_tiers(
+    df: DataFrame, params: QcParams = QcParams(), persist: bool = True
+) -> dict[str, DataFrame]:
+    """All tier tables from a transcripts DataFrame.
+
+    ``persist=True`` caches each tier before the next consumes it — the
+    cascade (and the dimension rollups) would otherwise recompute the whole
+    upstream DAG per output. Callers writing tiers to storage can pass
+    False and rely on the write barrier instead.
+    """
+    flagged = qc_flags(df, params)
+    if persist:
+        flagged = flagged.persist()
+    t1m = rollup_1m(flagged, fail_flag_col="flag_dip")
+    if persist:
+        t1m = t1m.persist()
+    t1h = rollup_coarser(t1m, "hour")
+    if persist:
+        t1h = t1h.persist()
+    t1d = rollup_coarser(t1h, "day")
+    return {
+        "turns_flagged": flagged,
+        "tier_1m": t1m,
+        "tier_1h": t1h,
+        "tier_1d": t1d,
+        "rollup_role_1h": rollup_by_dimension(flagged, "role", "hour"),
+        "rollup_tool_1h": rollup_by_dimension(flagged, "tool", "hour"),
+    }

@@ -1,0 +1,181 @@
+"""Tier cascade correctness (Tier B/C):
+
+- tier_1m bit-matches an independent pandas/numpy oracle (f32 mean/p95)
+- 1h sums == sum of member 1m sums; 1d == sum of member 1h sums
+- 1h/1d p95 bit-match the oracle quantile over the raw passing gaps
+- QC-before-rollup: FAIL rows excluded from measures, counted in n_qc_fail
+- salted two-stage agg == plain groupBy
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from olympian_spark.datagen import gen_transcripts
+from olympian_spark.flags import Flag
+from olympian_spark.operators.rollup import salted_agg
+from olympian_spark.oracle.quantile import compute_quantile
+from olympian_spark.plans.pipeline import QcParams, build_tiers
+
+F32 = np.float32
+PARAMS = QcParams(dip_high=300.0, dip_max=1200.0)
+
+
+@pytest.fixture(scope="module")
+def tiers(spark):
+    pdf = gen_transcripts(n_turns=20_000, n_convs=60, seed=42).to_pandas()
+    df = spark.createDataFrame(pdf)
+    out = build_tiers(df, PARAMS)
+    collected = {
+        k: out[k].toPandas()
+        for k in ("turns_flagged", "tier_1m", "tier_1h", "tier_1d")
+    }
+    return pdf, collected
+
+
+def _us(series):
+    """Timestamps -> int64 microseconds regardless of pandas storage unit."""
+    s = series.dt.tz_localize(None) if series.dt.tz is not None else series
+    return s.astype("datetime64[us]").astype("int64")
+
+
+def _oracle_turns(pdf):
+    """Independent pandas recomputation of stage 1 + dip-fail policy."""
+    rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        ts = _us(g["ts"]).to_numpy()
+        gap = np.full(len(g), np.nan, dtype=F32)
+        gap[1:] = ((ts[1:] - ts[:-1]) / 1e6).astype(F32)
+        from olympian_spark.oracle import dip_check
+
+        vals = [None if np.isnan(x) else float(x) for x in gap]
+        # dip needs 1 lead + 1 trail context; edges are DATA_MISSING here
+        flags = [int(Flag.DATA_MISSING)] * len(vals)
+        if len(vals) >= 3:
+            inner = dip_check(vals, 1, 1, PARAMS.dip_high, PARAMS.dip_max)
+            flags[1:-1] = inner
+        tl = g["text"].fillna("").str.len().to_numpy(F32)
+        for i in range(len(g)):
+            rows.append(
+                (conv, int(g["turn_idx"].iloc[i]), ts[i], gap[i], tl[i], flags[i])
+            )
+    return pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "ts_us", "gap", "tl", "flag_dip"]
+    )
+
+
+def test_stage1_flags_match_oracle(tiers):
+    pdf, got = tiers
+    oracle = _oracle_turns(pdf)
+    sf = got["turns_flagged"][["conv_id", "turn_idx", "flag_dip"]]
+    merged = oracle.merge(sf, on=["conv_id", "turn_idx"], suffixes=("_o", "_s"))
+    assert len(merged) == len(oracle)
+    assert (merged["flag_dip_o"] == merged["flag_dip_s"]).all()
+
+
+def test_tier_1m_matches_oracle(tiers):
+    pdf, got = tiers
+    oracle = _oracle_turns(pdf)
+    oracle["bucket"] = (oracle["ts_us"] // 60_000_000) * 60_000_000
+    t1m = got["tier_1m"].copy()
+    t1m["bucket"] = _us(t1m["bucket_start"])
+
+    exp = {}
+    for (conv, bucket), g in oracle.groupby(["conv_id", "bucket"]):
+        ok = g[g["flag_dip"] != int(Flag.FAIL)]
+        gaps = ok["gap"].to_numpy(F32)
+        valid = gaps[np.isfinite(gaps)]
+        exp[(conv, bucket)] = dict(
+            n_turns=len(g),
+            n_qc_fail=int((g["flag_dip"] == int(Flag.FAIL)).sum()),
+            n_valid=len(valid),
+            mean_gap=(
+                F32(F32(np.sum(valid, dtype=F32)) / F32(len(valid)))
+                if len(valid)
+                else None
+            ),
+            p95=compute_quantile(0.95, valid) if len(valid) else None,
+        )
+    assert len(t1m) == len(exp)
+    n_fail_total = 0
+    for r in t1m.itertuples():
+        e = exp[(r.conv_id, r.bucket)]
+        assert r.n_turns == e["n_turns"]
+        assert r.n_qc_fail == e["n_qc_fail"]
+        assert r.n_valid_gap == e["n_valid"]
+        if e["mean_gap"] is None:
+            assert pd.isna(r.mean_gap)
+        else:
+            # bit-exact f32
+            assert F32(r.mean_gap).view(np.uint32) == e["mean_gap"].view(np.uint32)
+            assert F32(r.p95_gap).view(np.uint32) == e["p95"].view(np.uint32)
+        n_fail_total += r.n_qc_fail
+    assert n_fail_total > 0, "fixture too tame: no QC fails"
+
+
+def _check_tier_consistency(fine, coarse, trunc):
+    fine = fine.copy()
+    fine["cb"] = fine["bucket_start"].dt.floor(trunc)
+    agg = fine.groupby(["conv_id", "cb"]).agg(
+        n_turns=("n_turns", "sum"),
+        n_qc_fail=("n_qc_fail", "sum"),
+        n_valid_gap=("n_valid_gap", "sum"),
+        sum_text_len=("sum_text_len", "sum"),
+    )
+    assert len(agg) == len(coarse)
+    for r in coarse.itertuples():
+        e = agg.loc[(r.conv_id, r.bucket_start)]
+        assert r.n_turns == e["n_turns"]
+        assert r.n_qc_fail == e["n_qc_fail"]
+        assert r.n_valid_gap == e["n_valid_gap"]
+        assert r.sum_text_len == e["sum_text_len"]
+
+
+def test_tier_cascade_consistency(tiers):
+    _, got = tiers
+    _check_tier_consistency(got["tier_1m"], got["tier_1h"], "h")
+    _check_tier_consistency(got["tier_1h"], got["tier_1d"], "D")
+
+
+def test_coarse_p95_exact_from_blocks(tiers):
+    pdf, got = tiers
+    oracle = _oracle_turns(pdf)
+    oracle["hb"] = (oracle["ts_us"] // 3_600_000_000) * 3_600_000_000
+    t1h = got["tier_1h"].copy()
+    t1h["hb"] = _us(t1h["bucket_start"])
+    checked = 0
+    for (conv, hb), g in oracle.groupby(["conv_id", "hb"]):
+        ok = g[g["flag_dip"] != int(Flag.FAIL)]
+        gaps = ok["gap"].to_numpy(F32)
+        valid = gaps[np.isfinite(gaps)]
+        if not len(valid):
+            continue
+        row = t1h[(t1h.conv_id == conv) & (t1h.hb == hb)]
+        assert len(row) == 1
+        got_p95 = F32(row["p95_gap"].iloc[0])
+        assert got_p95.view(np.uint32) == compute_quantile(0.95, valid).view(np.uint32)
+        checked += 1
+    assert checked > 50
+
+
+def test_salted_agg_equivalence(spark):
+    df = spark.createDataFrame(
+        gen_transcripts(n_turns=30_000, n_convs=30, seed=3).to_pandas()
+    ).withColumn("text_len", F.length("text").cast("double"))
+    plain = (
+        df.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("text_len").alias("s"))
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    salted = (
+        salted_agg(df, ["conv_id"], {"s": "text_len"}, salt_source="turn_idx")
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    assert (plain["n"] == salted["n"]).all()
+    assert np.allclose(plain["s"], salted["s"], rtol=1e-12)
