@@ -1,0 +1,129 @@
+"""Catalog + incremental refresh + retention + resume (Tier E, SURVEY §5):
+
+- overwrite_partitions touches only the partitions present in the new data
+- retention delete drops old partitions and records a snapshot
+- incremental refresh (new day arrives) == full recompute
+- resume: kill after a partial commit, rerun, final tables identical
+- manifest carries per-partition lineage + metrics
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from olympian_spark.datagen import gen_transcripts
+from olympian_spark.plans.pipeline import QcParams
+from olympian_spark.plans.refresh import TIER_TABLES, apply_retention, refresh_tiers
+from olympian_spark.sources.catalog import ParquetManifestCatalog
+
+PARAMS = QcParams(dip_high=300.0, dip_max=1200.0)
+
+
+def _split_by_day(spark, n_turns=12_000, n_convs=40):
+    pdf = gen_transcripts(n_turns=n_turns, n_convs=n_convs, seed=42).to_pandas()
+    df = spark.createDataFrame(pdf)
+    days = sorted(str(r[0]) for r in df.select(F.to_date("ts")).distinct().collect())
+    split = days[len(days) // 2]
+    first = df.filter(F.to_date("ts") <= split)
+    return df, first, split
+
+
+def _table_state(cat, table):
+    return (
+        cat.read(table)
+        .orderBy("conv_id", "bucket_start")
+        .drop("block")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def test_incremental_refresh_equals_full(spark, tmp_path):
+    full, first, split = _split_by_day(spark)
+
+    # incremental: commit first half, then the rest arrives
+    cat_inc = ParquetManifestCatalog(spark, str(tmp_path / "inc"))
+    refresh_tiers(spark, cat_inc, first, watermark="wm1", params=PARAMS)
+    refresh_tiers(
+        spark, cat_inc, full, watermark="wm2", since_watermark=f"{split} 23:59:59.999999",
+        params=PARAMS,
+    )
+
+    # oracle: one-shot full refresh
+    cat_full = ParquetManifestCatalog(spark, str(tmp_path / "full"))
+    refresh_tiers(spark, cat_full, full, watermark="wm2", params=PARAMS)
+
+    for table in TIER_TABLES:
+        a = _table_state(cat_inc, table)
+        b = _table_state(cat_full, table)
+        assert a.equals(b), f"incremental != full for {table}"
+
+
+def test_resume_after_partial_commit(spark, tmp_path):
+    full, first, _ = _split_by_day(spark, n_turns=6_000, n_convs=20)
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "resume"))
+    refresh_tiers(spark, cat, first, watermark="wm1", params=PARAMS)
+
+    # simulated crash: second run commits only tier_1m, then dies
+    class Boom(RuntimeError):
+        pass
+
+    orig = ParquetManifestCatalog.overwrite_partitions
+    calls = {"n": 0}
+
+    def dying(self, table, df, **kw):
+        if calls["n"] >= 1:
+            raise Boom()
+        calls["n"] += 1
+        return orig(self, table, df, **kw)
+
+    ParquetManifestCatalog.overwrite_partitions = dying
+    try:
+        with pytest.raises(Boom):
+            refresh_tiers(spark, cat, full, watermark="wm2", params=PARAMS)
+    finally:
+        ParquetManifestCatalog.overwrite_partitions = orig
+
+    # resume: rerun the same refresh; already-committed tier_1m is skipped
+    results = refresh_tiers(spark, cat, full, watermark="wm2", params=PARAMS)
+    assert results["tier_1m"] == "skipped"
+
+    cat2 = ParquetManifestCatalog(spark, str(tmp_path / "oneshot"))
+    refresh_tiers(spark, cat2, full, watermark="wm2", params=PARAMS)
+    for table in TIER_TABLES:
+        assert _table_state(cat, table).equals(_table_state(cat2, table)), table
+
+
+def test_overwrite_touches_only_new_partitions(spark, tmp_path):
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "c"))
+    df1 = spark.createDataFrame(
+        [("a", "2024-01-01", 1), ("a", "2024-01-02", 2)], "k string, bucket_date string, v int"
+    )
+    cat.overwrite_partitions("t", df1)
+    d1 = os.path.join(str(tmp_path / "c"), "t/data/bucket_date=2024-01-01")
+    mtime_before = max(os.path.getmtime(os.path.join(d1, f)) for f in os.listdir(d1))
+
+    df2 = spark.createDataFrame([("a", "2024-01-02", 99)], "k string, bucket_date string, v int")
+    cat.overwrite_partitions("t", df2)
+    mtime_after = max(os.path.getmtime(os.path.join(d1, f)) for f in os.listdir(d1))
+    assert mtime_before == mtime_after  # 01-01 untouched
+    got = {(str(r.bucket_date), r.v) for r in cat.read("t").collect()}
+    assert got == {("2024-01-01", 1), ("2024-01-02", 99)}
+
+
+def test_retention_and_manifest(spark, tmp_path):
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "r"))
+    rows = [("a", f"2024-01-{d:02d}", d) for d in range(1, 11)]
+    cat.overwrite_partitions("t", spark.createDataFrame(rows, "k string, bucket_date string, v int"),
+                             input_watermark="wm1")
+    apply_retention(cat, {"t": "2024-01-05"})
+    left = sorted(str(r.bucket_date) for r in cat.read("t").collect())
+    assert left == [f"2024-01-{d:02d}" for d in range(5, 11)]
+    live = cat.committed_partitions("t")
+    assert set(live) == set(left)
+    m = cat.manifest_df("t").toPandas()
+    assert (m[m.op == "overwrite_partitions"].rows > 0).all()
+    assert cat.input_watermark("t") == "wm1"
+    snap = cat.current_snapshot("t")
+    assert snap["op"] == "retention_delete" and snap["cutoff"] == "2024-01-05"
