@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship QC-filtered rollup pipeline on sf0.001.
+``queries()`` exposes every SQL-expressible operator from SURVEY.md §2 as a
+(spark, sf_dir) callable; ``oracle_sql()`` gives the DuckDB-equivalent SQL
+over the same parquet tables. Engine-native grouped-kernel operators
+(buddy_check, sct, Gorilla blocks, exact-f32 p95 tiers) have no faithful
+ANSI-SQL expression — they get rows-only entries here and bit-exact pytest
+oracles in tests/ (see SURVEY.md §5).
+
+Cross-engine determinism rules used throughout:
+- timestamps exported as epoch BIGINT (UTC session <-> DuckDB naive);
+- float aggregates computed in DOUBLE on both sides and ROUND(x, 6)
+  (the engine's f32 bit-exact path is pytest-verified; the SQL harness
+  checks relational semantics, not f32 representation);
+- every computed column aliased identically on both sides;
+- top-k queries ordered with a full deterministic tiebreak.
 """
 
 from __future__ import annotations
@@ -13,26 +23,585 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# ---------------------------------------------------------------------------
+# shared SQL fragments (Spark and DuckDB dialects)
+# ---------------------------------------------------------------------------
+
+# events -> transcripts mapping (SURVEY §1.5): deterministic, SQL-expressible
+# in both engines so every transcript query has an oracle.
+_T_SPARK = """
+SELECT
+  concat('c', CAST(user_id AS STRING))                              AS conv_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+       AS INT)                                                      AS turn_idx,
+  CASE event_type WHEN 'view' THEN 'user' WHEN 'click' THEN 'user'
+       WHEN 'purchase' THEN 'assistant' WHEN 'signup' THEN 'system'
+       ELSE 'tool' END                                              AS role,
+  props                                                             AS text,
+  CASE event_type WHEN 'error' THEN 'bash' WHEN 'purchase' THEN 'search'
+       ELSE NULL END                                                AS tool,
+  CAST(ts AS TIMESTAMP)                                             AS ts,
+  value                                                             AS metric
+FROM events
+"""
+
+_T_DUCK = """
+SELECT
+  'c' || CAST(user_id AS VARCHAR)                                   AS conv_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+       AS INTEGER)                                                  AS turn_idx,
+  CASE event_type WHEN 'view' THEN 'user' WHEN 'click' THEN 'user'
+       WHEN 'purchase' THEN 'assistant' WHEN 'signup' THEN 'system'
+       ELSE 'tool' END                                              AS role,
+  props                                                             AS text,
+  CASE event_type WHEN 'error' THEN 'bash' WHEN 'purchase' THEN 'search'
+       ELSE NULL END                                                AS tool,
+  ts                                                                AS ts,
+  value                                                             AS metric
+FROM events
+"""
+
+# per-turn gap in seconds, DOUBLE (µs integer diff / 1e6 on both sides)
+_G_SPARK = f"""
+SELECT *,
+  (unix_micros(ts) - LAG(unix_micros(ts)) OVER w) / 1e6             AS turn_gap_s,
+  (unix_micros(ts) - LAG(unix_micros(ts)) OVER w)                   AS turn_gap_us,
+  CAST(length(coalesce(text, '')) AS BIGINT)                        AS text_len
+FROM ({_T_SPARK})
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+"""
+
+_G_DUCK = f"""
+SELECT *,
+  (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1e6                   AS turn_gap_s,
+  (epoch_us(ts) - LAG(epoch_us(ts)) OVER w)                         AS turn_gap_us,
+  CAST(length(coalesce(text, '')) AS BIGINT)                        AS text_len
+FROM ({_T_DUCK})
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+"""
+
+
+def _flag_case(g="turn_gap_s", prev="prev_gap", high=120.0, max_=3600.0):
+    """step_check CASE, Warn-before-Fail reference bug preserved
+    (step_check.rs:35-41). Same text works in both dialects."""
+    return f"""CASE
+      WHEN {prev} IS NULL OR {g} IS NULL THEN 5
+      WHEN abs({prev} - {g}) > {high} THEN 2
+      WHEN abs({prev} - {g}) > {max_} THEN 1
+      ELSE 0 END"""
+
+
+def _dip_case(d0="d0", d1="turn_gap_s", d2="d2", high=60.0, max_=1800.0):
+    """dip_check CASE (dip_check.rs:38-59), Fail-before-Warn (fixed order)."""
+    return f"""CASE
+      WHEN {d0} IS NULL OR {d1} IS NULL OR {d2} IS NULL THEN 5
+      WHEN (({d2} < {d1} AND {d0} < {d1}) OR ({d2} > {d1} AND {d0} > {d1}))
+           AND abs(abs({d2} - {d1}) - abs({d1} - {d0}))
+               < 0.35 * abs(abs({d2} - {d1}) + abs({d1} - {d0}))
+      THEN CASE WHEN abs(abs({d2} - {d1}) + abs({d1} - {d0})) > {max_} THEN 1
+                WHEN abs(abs({d2} - {d1}) + abs({d1} - {d0})) > {high} THEN 2
+                ELSE 0 END
+      ELSE 0 END"""
+
+
+_STEP_SPARK = f"""
+SELECT conv_id, turn_idx,
+       {_flag_case(prev="(LAG(turn_gap_s) OVER w)")} AS flag_step
+FROM ({_G_SPARK})
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+"""
+_STEP_DUCK = _STEP_SPARK.replace(_G_SPARK, _G_DUCK)
+
+_DIP_SPARK = f"""
+SELECT conv_id, turn_idx,
+       {_dip_case(d0="(LAG(turn_gap_s) OVER w)", d2="(LEAD(turn_gap_s) OVER w)")} AS flag_dip
+FROM ({_G_SPARK})
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+"""
+_DIP_DUCK = _DIP_SPARK.replace(_G_SPARK, _G_DUCK)
+
+
+def _sql_query(spark_sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for t in ("events", "lineitem", "orders", "customer", "nation",
+                  "documents", "embeddings"):
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        return spark.sql(spark_sql)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# query registry: {name: (spark_sql, duckdb_sql)} for the SQL-expressible set
+# ---------------------------------------------------------------------------
+
+_SQL: dict[str, tuple[str, str]] = {}
+
+
+def _reg(name: str, spark_sql: str, duck_sql: str):
+    _SQL[name] = (spark_sql, duck_sql)
+
+
+# 1. source scan + stable turn ordering + per-turn text passthrough
+#    (input_hint invariant: text equality under (conv_id, turn_idx) order)
+_reg(
+    "q01_transcripts_view",
+    f"SELECT conv_id, turn_idx, role, text, tool, unix_micros(ts) AS ts_us,"
+    f" round(metric, 6) AS metric FROM ({_T_SPARK})",
+    f"SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us,"
+    f" round(metric, 6) AS metric FROM ({_T_DUCK})",
+)
+
+# 2. derived turn metrics (gap-to-predecessor, text length)
+_reg(
+    "q02_turn_metrics",
+    f"SELECT conv_id, turn_idx, round(turn_gap_s, 6) AS turn_gap_s, text_len"
+    f" FROM ({_G_SPARK})",
+    f"SELECT conv_id, turn_idx, round(turn_gap_s, 6) AS turn_gap_s, text_len"
+    f" FROM ({_G_DUCK})",
+)
+
+# 3. step_check flags (window CASE; reference Warn-before-Fail bug)
+_reg("q03_step_flags", _STEP_SPARK, _STEP_DUCK)
+
+# 4. dip_check flags (lag+lead window CASE)
+_reg("q04_dip_flags", _DIP_SPARK, _DIP_DUCK)
+
+# 5. flatline runs: run-id via cumulative change-sum, flag runs >= 3
+_FLAT = """
+SELECT conv_id, turn_idx,
+       CASE WHEN metric IS NULL THEN 5
+            WHEN cnt >= 3 THEN 1 ELSE 0 END AS flag_flatline
+FROM (
+  SELECT conv_id, turn_idx, metric,
+         COUNT(*) OVER (PARTITION BY conv_id, run_id) AS cnt
+  FROM (
+    SELECT conv_id, turn_idx, metric,
+           SUM(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                          ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM (
+      SELECT conv_id, turn_idx, metric,
+             CASE WHEN metric IS NULL OR LAG(metric) OVER w IS NULL
+                       OR metric <> LAG(metric) OVER w THEN 1 ELSE 0 END AS chg
+      FROM ({T})
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    )
+  )
+)
+"""
+_reg("q05_flatline_flags", _FLAT.format(T=_T_SPARK), _FLAT.format(T=_T_DUCK))
+
+# 6. spine gap-fill (SeriesCache materialization, hourly grain) — per-conv
+#    slot/gap/observation counts over a sequence()-generated dense spine
+_SPINE_SPARK = f"""
+WITH b AS (
+  SELECT conv_id, date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+  FROM ({_T_SPARK}) GROUP BY conv_id
+),
+spine AS (
+  SELECT conv_id, explode(sequence(t0, t1, interval 1 hour)) AS slot FROM b
+),
+obs AS (
+  SELECT conv_id, date_trunc('hour', ts) AS slot, count(*) AS n
+  FROM ({_T_SPARK}) GROUP BY 1, 2
+)
+SELECT s.conv_id,
+       count(*)                            AS n_slots,
+       sum(CASE WHEN o.n IS NULL THEN 1 ELSE 0 END) AS n_gap_slots,
+       coalesce(sum(o.n), 0)               AS n_obs
+FROM spine s LEFT JOIN obs o ON s.conv_id = o.conv_id AND s.slot = o.slot
+GROUP BY s.conv_id
+"""
+_SPINE_DUCK = f"""
+WITH b AS (
+  SELECT conv_id, date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+  FROM ({_T_DUCK}) GROUP BY conv_id
+),
+spine AS (
+  SELECT conv_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot FROM b
+),
+obs AS (
+  SELECT conv_id, date_trunc('hour', ts) AS slot, count(*) AS n
+  FROM ({_T_DUCK}) GROUP BY 1, 2
+)
+SELECT s.conv_id,
+       count(*)                            AS n_slots,
+       sum(CASE WHEN o.n IS NULL THEN 1 ELSE 0 END) AS n_gap_slots,
+       coalesce(sum(o.n), 0)               AS n_obs
+FROM spine s LEFT JOIN obs o ON s.conv_id = o.conv_id AND s.slot = o.slot
+GROUP BY s.conv_id
+"""
+_reg("q06_spine_gapfill_hourly", _SPINE_SPARK, _SPINE_DUCK)
+
+# 7. LOCF over the hourly spine (slot value = last obs in slot by (ts, turn),
+#    carried forward), per-conv checksum
+_LOCF = """
+WITH b AS (
+  SELECT conv_id, date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+  FROM ({T}) GROUP BY conv_id
+),
+spine AS (
+  SELECT conv_id, {SEQ} AS slot FROM b
+),
+obs AS (
+  SELECT conv_id, slot, metric FROM (
+    SELECT conv_id, date_trunc('hour', ts) AS slot, metric,
+           ROW_NUMBER() OVER (PARTITION BY conv_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, turn_idx DESC) AS rn
+    FROM ({T})
+  ) WHERE rn = 1
+),
+filled AS (
+  SELECT s.conv_id, s.slot,
+         {LASTV} OVER (
+           PARTITION BY s.conv_id ORDER BY s.slot
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM spine s LEFT JOIN obs o ON s.conv_id = o.conv_id AND s.slot = o.slot
+)
+SELECT conv_id, count(*) AS n_slots,
+       sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS n_filled,
+       sum(CAST(round(coalesce(v, 0) * 100) AS BIGINT)) AS locf_checksum_x100
+FROM filled GROUP BY conv_id
+"""
+_reg(
+    "q07_locf_hourly",
+    _LOCF.format(T=_T_SPARK, SEQ="explode(sequence(t0, t1, interval 1 hour))",
+                 LASTV="LAST_VALUE(o.metric, true)"),
+    _LOCF.format(T=_T_DUCK, SEQ="unnest(generate_series(t0, t1, INTERVAL 1 HOUR))",
+                 LASTV="LAST_VALUE(o.metric IGNORE NULLS)"),
+)
+
+# 8. tumbling 1m rollup (count / sum / mean / exact interpolated p95)
+_ROLL1M = """
+SELECT conv_id, {EPOCH} AS bucket_s,
+       count(*) AS n_turns,
+       sum(CAST(round(metric * 100) AS BIGINT)) AS sum_metric_x100,
+       round({P95}, 6) AS p95_metric
+FROM ({T})
+GROUP BY conv_id, bucket_s
+"""
+_reg(
+    "q08_rollup_1m",
+    _ROLL1M.format(T=_T_SPARK, EPOCH="unix_seconds(date_trunc('minute', ts))",
+                   P95="percentile(metric, 0.95D)"),
+    _ROLL1M.format(T=_T_DUCK, EPOCH="CAST(epoch(date_trunc('minute', ts)) AS BIGINT)",
+                   P95="quantile_cont(metric, 0.95)"),
+)
+
+# 9. 1h tier refreshed FROM 1m partials (partial+final decomposition) vs a
+#    direct 1h aggregate oracle — the continuous-aggregate equivalence
+_reg(
+    "q09_rollup_1h_from_1m_partials",
+    f"""
+    WITH t1m AS (
+      SELECT conv_id, date_trunc('minute', ts) AS b, count(*) AS n,
+             sum(CAST(round(metric * 100) AS BIGINT)) AS s
+      FROM ({_T_SPARK}) GROUP BY 1, 2
+    )
+    SELECT conv_id, unix_seconds(date_trunc('hour', b)) AS bucket_s,
+           sum(n) AS n_turns, sum(s) AS sum_metric_x100
+    FROM t1m GROUP BY 1, 2
+    """,
+    f"""
+    SELECT conv_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s,
+           count(*) AS n_turns,
+           sum(CAST(round(metric * 100) AS BIGINT)) AS sum_metric_x100
+    FROM ({_T_DUCK}) GROUP BY 1, 2
+    """,
+)
+
+# 10. 1d tier from 1h partials vs direct daily oracle
+_reg(
+    "q10_rollup_1d_from_1h_partials",
+    f"""
+    WITH t1h AS (
+      SELECT conv_id, date_trunc('hour', ts) AS b, count(*) AS n,
+             sum(CAST(round(metric * 100) AS BIGINT)) AS s
+      FROM ({_T_SPARK}) GROUP BY 1, 2
+    )
+    SELECT conv_id, unix_seconds(date_trunc('day', b)) AS bucket_s,
+           sum(n) AS n_turns, sum(s) AS sum_metric_x100
+    FROM t1h GROUP BY 1, 2
+    """,
+    f"""
+    SELECT conv_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_s,
+           count(*) AS n_turns,
+           sum(CAST(round(metric * 100) AS BIGINT)) AS sum_metric_x100
+    FROM ({_T_DUCK}) GROUP BY 1, 2
+    """,
+)
+
+# 11/12. dimension rollups (per-role / per-tool)
+_DIMROLL = """
+SELECT {EPOCH} AS bucket_s, {DIM} AS dim,
+       count(*) AS n_turns,
+       sum(CAST(length(coalesce(text, '')) AS BIGINT)) AS sum_text_len
+FROM ({T})
+GROUP BY bucket_s, dim
+"""
+_reg(
+    "q11_rollup_by_role_1h",
+    _DIMROLL.format(T=_T_SPARK, EPOCH="unix_seconds(date_trunc('hour', ts))", DIM="role"),
+    _DIMROLL.format(T=_T_DUCK, EPOCH="CAST(epoch(date_trunc('hour', ts)) AS BIGINT)", DIM="role"),
+)
+_reg(
+    "q12_rollup_by_tool_1h",
+    _DIMROLL.format(T=_T_SPARK, EPOCH="unix_seconds(date_trunc('hour', ts))",
+                    DIM="coalesce(tool, 'none')"),
+    _DIMROLL.format(T=_T_DUCK, EPOCH="CAST(epoch(date_trunc('hour', ts)) AS BIGINT)",
+                    DIM="coalesce(tool, 'none')"),
+)
+
+# 13. QC-before-rollup: dip-FAIL turns excluded from measures, counted
+_QCROLL = """
+WITH flagged AS (
+  SELECT conv_id, turn_idx, turn_gap_s, turn_gap_us, ts,
+         {DIP} AS flag_dip
+  FROM ({G})
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, {EPOCH} AS bucket_s,
+       count(*) AS n_turns,
+       sum(CASE WHEN flag_dip = 1 THEN 1 ELSE 0 END) AS n_qc_fail,
+       CAST(floor(avg(CASE WHEN flag_dip <> 1 THEN turn_gap_us END)) AS BIGINT)
+         AS mean_gap_ok_us
+FROM flagged
+GROUP BY conv_id, bucket_s
+"""
+_reg(
+    "q13_qc_filtered_rollup_1h",
+    _QCROLL.format(G=_G_SPARK, EPOCH="unix_seconds(date_trunc('hour', ts))",
+                   DIP=_dip_case(d0="(LAG(turn_gap_s) OVER w)", d2="(LEAD(turn_gap_s) OVER w)")),
+    _QCROLL.format(G=_G_DUCK, EPOCH="CAST(epoch(date_trunc('hour', ts)) AS BIGINT)",
+                   DIP=_dip_case(d0="(LAG(turn_gap_s) OVER w)", d2="(LEAD(turn_gap_s) OVER w)")),
+)
+
+# 14. flag distribution (step x dip contingency)
+_FLAGDIST = """
+WITH s AS ({STEP}), d AS ({DIP})
+SELECT s.flag_step, d.flag_dip, count(*) AS n
+FROM s JOIN d ON s.conv_id = d.conv_id AND s.turn_idx = d.turn_idx
+GROUP BY s.flag_step, d.flag_dip
+"""
+_reg(
+    "q14_flag_distribution",
+    _FLAGDIST.format(STEP=_STEP_SPARK, DIP=_DIP_SPARK),
+    _FLAGDIST.format(STEP=_STEP_DUCK, DIP=_DIP_DUCK),
+)
+
+# 15. top-k largest gaps (deterministic tiebreak)
+_TOPK = """
+SELECT conv_id, turn_idx, round(turn_gap_s, 6) AS gap_s
+FROM ({G})
+WHERE turn_gap_s IS NOT NULL
+ORDER BY round(turn_gap_s, 6) DESC, conv_id, turn_idx
+LIMIT 100
+"""
+_reg("q15_top_gaps", _TOPK.format(G=_G_SPARK), _TOPK.format(G=_G_DUCK))
+
+# 16. sessionization: a gap > 1800s opens a new session (cumsum window)
+_SESS = """
+SELECT conv_id,
+       count(DISTINCT session_id) AS n_sessions,
+       max(session_id) + 1 AS last_session_plus1
+FROM (
+  SELECT conv_id,
+         SUM(CASE WHEN turn_gap_s IS NULL OR turn_gap_s > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) - 1
+           AS session_id
+  FROM ({G})
+)
+GROUP BY conv_id
+"""
+_reg("q16_sessionize", _SESS.format(G=_G_SPARK), _SESS.format(G=_G_DUCK))
+
+# 17. retention predicate: per-day survivor counts after a cutoff
+_RET = """
+SELECT {EPOCH} AS day_s, count(*) AS n
+FROM ({T})
+WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY day_s
+"""
+_reg(
+    "q17_retention_filter",
+    _RET.format(T=_T_SPARK, EPOCH="unix_seconds(date_trunc('day', ts))"),
+    _RET.format(T=_T_DUCK, EPOCH="CAST(epoch(date_trunc('day', ts)) AS BIGINT)"),
+)
+
+# 18. enrichment join: conversations x customer dimension (broadcast join)
+_JOIN_SPARK = f"""
+SELECT n.n_name AS nation, count(*) AS n_turns,
+       sum(CAST(round(t.metric * 100) AS BIGINT)) AS sum_metric_x100
+FROM ({_T_SPARK}) t
+JOIN customer c ON CAST(substr(t.conv_id, 2) AS BIGINT) = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+_JOIN_DUCK = f"""
+SELECT n.n_name AS nation, count(*) AS n_turns,
+       sum(CAST(round(t.metric * 100) AS BIGINT)) AS sum_metric_x100
+FROM ({_T_DUCK}) t
+JOIN customer c ON CAST(substr(t.conv_id, 2) AS BIGINT) = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+_reg("q18_enrich_join_nation", _JOIN_SPARK, _JOIN_DUCK)
+
+# 19. salted two-stage aggregation == plain groupBy (skew-handling proof)
+_reg(
+    "q19_salted_agg_equivalence",
+    f"""
+    WITH partial AS (
+      SELECT conv_id, pmod(turn_idx, 16) AS salt, count(*) AS c,
+             sum(CAST(round(metric * 100) AS BIGINT)) AS s
+      FROM ({_T_SPARK}) GROUP BY conv_id, salt
+    )
+    SELECT conv_id, sum(c) AS n_turns, sum(s) AS sum_metric_x100
+    FROM partial GROUP BY conv_id
+    """,
+    f"SELECT conv_id, count(*) AS n_turns,"
+    f" sum(CAST(round(metric * 100) AS BIGINT)) AS sum_metric_x100"
+    f" FROM ({_T_DUCK}) GROUP BY conv_id",
+)
+
+# 20. classic wide aggregation over lineitem (generic agg/sort coverage)
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_x100,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_x100,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_x10k,
+       sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_x100,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+_reg("q20_lineitem_pricing_summary", _Q1, _Q1)
+
+
+# ---------------------------------------------------------------------------
+# engine-native queries (grouped kernels — rows-only driver check; bit-exact
+# parity is covered by the pytest oracle suite, SURVEY §5 Tier A/B)
+# ---------------------------------------------------------------------------
+
+
+def _stations_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SpatialCache-shaped slices derived from events: one
+    slice per event_type, stations positioned by hashing event ids."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.col("event_type").alias("slice_key"),
+        (F.row_number().over(
+            __import__("pyspark").sql.Window.partitionBy("event_type").orderBy("event_id")
+        ) - 1).cast("int").alias("station_idx"),
+        (50.0 + F.pmod(F.col("event_id") * 37, F.lit(2000)) / 1000.0).cast("float").alias("lat"),
+        (10.0 + F.pmod(F.col("event_id") * 73, F.lit(2000)) / 1000.0).cast("float").alias("lon"),
+        (F.pmod(F.col("event_id"), F.lit(100))).cast("float").alias("elev"),
+        F.col("value").cast("float").alias("value"),
+        F.lit(True).alias("obs_to_check"),
+    ).filter(F.col("station_idx") < 2000)
+
+
+def q_buddy_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olympian_spark.operators.qc_spatial import buddy_check_spatial
+
+    st = _stations_from_events(spark, sf_dir)
+    out = buddy_check_spatial(
+        st, threshold=2.0, max_elev_diff=200.0, elev_gradient=-0.0065,
+        min_std=1.0, num_iterations=2, radius=100.0, num_min=3,
+    )
+    return out.groupBy("slice_key", "flag").count().orderBy("slice_key", "flag")
+
+
+def q_sct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olympian_spark.operators.qc_spatial import sct_spatial
+
+    st = _stations_from_events(spark, sf_dir)
+    out = sct_spatial(
+        st, num_min=5, num_max=50, inner_radius=50.0, outer_radius=100.0,
+        num_iterations=2, num_min_prof=20, min_elev_diff=50.0,
+        min_horizontal_scale=10.0, vertical_scale=200.0,
+        pos=4.0, neg=4.0, eps2=0.5, use_obs_to_check=True,
+    )
+    return out.groupBy("slice_key", "flag").count().orderBy("slice_key", "flag")
+
+
+def q_tier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine pipeline (f32 tiers + Gorilla blocks + exact p95) over the
+    events-derived transcripts; returns the 1h tier sans binary column."""
+    from olympian_spark.plans.pipeline import QcParams, build_tiers
+    from olympian_spark.sources.transcripts import transcripts_from_events
+
+    t = transcripts_from_events(spark, sf_dir)
+    tiers = build_tiers(t, QcParams(dip_high=60.0, dip_max=1800.0), persist=False)
+    return tiers["tier_1h"].drop("block")
+
+
+def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode + decode every conversation's turn stream; emits one row per
+    conversation with match=true when the roundtrip is bit-exact."""
+    import numpy as np
+    import pandas as pd
+
+    from olympian_spark.functions.gorilla import decode_block, encode_block
+    from olympian_spark.sources.transcripts import transcripts_from_events, with_turn_metrics
+
+    t = with_turn_metrics(transcripts_from_events(spark, sf_dir))
+    from pyspark.sql import functions as F
+
+    base = t.select(
+        "conv_id", "turn_idx",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "turn_gap_s", "text_len",
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        ts = pdf["ts_us"].to_numpy(np.int64)
+        g = pdf["turn_gap_s"].to_numpy(np.float32)
+        tl = pdf["text_len"].to_numpy(np.float32)
+        blk = encode_block(ts, [g, tl])
+        ts2, (g2, tl2) = decode_block(blk)
+        ok = (
+            bool((ts2 == ts).all())
+            and bool((g2.view(np.uint32) == g.view(np.uint32)).all())
+            and bool((tl2.view(np.uint32) == tl.view(np.uint32)).all())
+        )
+        return pd.DataFrame(
+            [{"conv_id": pdf["conv_id"].iat[0], "n_points": len(pdf),
+              "block_bytes": len(blk), "match": ok}]
+        )
+
+    return base.groupBy("conv_id").applyInPandas(
+        kernel, "conv_id string, n_points long, block_bytes long, match boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with
+    exact p95 + Gorilla blocks over the events-derived transcripts."""
+    return q_tier_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _sql_query(spark_sql) for name, (spark_sql, _) in _SQL.items()
+    }
+    out["q21_buddy_check_kernel"] = q_buddy_check
+    out["q22_sct_kernel"] = q_sct
+    out["q23_tier_pipeline_1h"] = q_tier_pipeline
+    out["q24_gorilla_roundtrip"] = q_gorilla_roundtrip
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: duck for name, (_, duck) in _SQL.items()}

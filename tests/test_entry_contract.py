@@ -1,0 +1,105 @@
+"""Local replica of the driver's correctness harness: run every queries()
+entry at sf0.001, compare against oracle_sql() via DuckDB — row count,
+column names, and an order-insensitive value hash."""
+
+import hashlib
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}".rstrip("0").rstrip(".")
+    return str(v)
+
+
+def _value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.md5()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def sql_results(spark, duck):
+    """Run all SQL-checkable queries once on each engine."""
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results = {}
+    for name, sql in oracles.items():
+        sdf = qs[name](spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        cur = duck.execute(sql)
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+        results[name] = (scols, srows, dcols, drows)
+    return results
+
+
+def test_all_sql_queries_match_duckdb(sql_results):
+    failures = []
+    for name, (scols, srows, dcols, drows) in sql_results.items():
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
+            failures.append(f"{name}: schema {scols} != {dcols}")
+            continue
+        if len(srows) != len(drows):
+            failures.append(f"{name}: rows {len(srows)} != {len(drows)}")
+            continue
+        # map duck columns into spark order by name
+        dmap = {c.lower(): i for i, c in enumerate(dcols)}
+        drows_m = [tuple(r[dmap[c.lower()]] for c in scols) for r in drows]
+        if _value_hash(scols, srows) != _value_hash(scols, drows_m):
+            # find first differing line for the error message
+            a = sorted("|".join(map(_norm, r)) for r in srows)
+            b = sorted("|".join(map(_norm, r)) for r in drows_m)
+            diff = next((x, y) for x, y in zip(a, b) if x != y)
+            failures.append(f"{name}: value hash mismatch, first diff {diff}")
+    assert not failures, "\n".join(failures)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.count()
+    assert rows > 0
+    assert "p95_gap" in df.columns and "block" not in df.columns
+
+
+def test_engine_native_queries_run(spark):
+    qs = entrymod.queries()
+    rt = qs["q24_gorilla_roundtrip"](spark, SF_DIR).collect()
+    assert rt and all(r.match for r in rt)
+    bc = qs["q21_buddy_check_kernel"](spark, SF_DIR).collect()
+    assert sum(r["count"] for r in bc) > 0
+    sc = qs["q22_sct_kernel"](spark, SF_DIR).collect()
+    assert sum(r["count"] for r in sc) > 0
