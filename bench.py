@@ -1,0 +1,103 @@
+"""Benchmark harness.
+
+Runs the engine's headline workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints exactly ONE
+JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., ...extras}
+
+Headline set:
+- pipeline_tiers: the full engine path — transcripts mapping, QC flags,
+  1m/1h/1d tier cascade with f32 measures + exact p95 + Gorilla blocks
+  (reported also as turns/sec, the north-rule metric)
+- representative relational operators from queries(): rollups, spine
+  gap-fill + LOCF, QC-filtered rollup, top-k, sessionization
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+BENCH/scaling_run.py (subprocess per parallelism level — one JVM each);
+results land in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from olympian_spark.plans.pipeline import QcParams, build_tiers
+    from olympian_spark.session import get_spark
+    from olympian_spark.sources.transcripts import transcripts_from_events
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="olympian_spark_bench", cores=cores)
+    # warm the JVM + python workers so per-query times measure the engine,
+    # not process startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- headline: full tier pipeline (turns/sec) ---
+    t = transcripts_from_events(spark, sf_dir)
+    n_turns = t.count()
+
+    def run_pipeline() -> None:
+        tiers = build_tiers(t, QcParams(dip_high=60.0, dip_max=1800.0))
+        for k in ("tier_1m", "tier_1h", "tier_1d", "rollup_role_1h", "rollup_tool_1h"):
+            tiers[k].count()
+        for k in ("_slim", "tier_1m", "tier_1h"):
+            tiers[k].unpersist()
+
+    timed("pipeline_tiers", run_pipeline)
+
+    # --- representative relational operators ---
+    qs = entrymod.queries()
+    for name in (
+        "q03_step_flags",
+        "q06_spine_gapfill_hourly",
+        "q07_locf_hourly",
+        "q08_rollup_1m",
+        "q09_rollup_1h_from_1m_partials",
+        "q13_qc_filtered_rollup_1h",
+        "q15_top_gaps",
+        "q16_sessionize",
+        "q19_salted_agg_equivalence",
+    ):
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    # engine-native kernels
+    timed("q24_gorilla_roundtrip", lambda: qs["q24_gorilla_roundtrip"](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cores": cores,
+                "n_turns": n_turns,
+                "pipeline_turns_per_sec": round(n_turns / timings["pipeline_tiers"], 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

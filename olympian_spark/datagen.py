@@ -19,6 +19,8 @@ inputs cheaply at any scale.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -109,6 +111,27 @@ def gen_transcripts(
     return table
 
 
-def write_transcripts(path: str, **kwargs) -> str:
-    pq.write_table(gen_transcripts(**kwargs), path)
+def write_transcripts(
+    path: str, row_group_size: int = 131_072, n_files: int = 1, **kwargs
+) -> str:
+    """Write transcripts parquet.
+
+    ``n_files > 1`` writes a directory of part files — a single large file
+    caps Spark's scan parallelism at ceil(bytes / maxPartitionBytes) and
+    gates the whole first stage; real tables always arrive as many files.
+    """
+    table = gen_transcripts(**kwargs)
+    if n_files <= 1:
+        pq.write_table(table, path, row_group_size=row_group_size)
+        return path
+    os.makedirs(path, exist_ok=True)
+    n = table.num_rows
+    step = -(-n // n_files)
+    for i in range(n_files):
+        sl = table.slice(i * step, step)
+        if sl.num_rows:
+            pq.write_table(
+                sl, os.path.join(path, f"part-{i:05d}.parquet"),
+                row_group_size=row_group_size,
+            )
     return path

@@ -33,6 +33,14 @@ from olympian_spark.oracle import spatial as _oracle
 
 _OUT_SCHEMA = "slice_key string, station_idx int, flag tinyint"
 
+
+def _by_slice(df):
+    """Explicit hash-partitioning by slice_key before the grouped kernel —
+    AQE byte-based coalescing would serialize CPU-bound slices (see
+    rollup._kernel_input for the rationale)."""
+    n = 2 * df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, "slice_key").groupBy("slice_key")
+
 MAX_SLICE_STATIONS = 200_000  # fail-fast guard; reference ceiling is ~10^4
 
 
@@ -101,7 +109,7 @@ def buddy_check_spatial(
             }
         )
 
-    return df.groupBy("slice_key").applyInPandas(kernel, _OUT_SCHEMA)
+    return _by_slice(df).applyInPandas(kernel, _OUT_SCHEMA)
 
 
 def sct_spatial(
@@ -184,4 +192,4 @@ def sct_spatial(
             }
         )
 
-    return df.groupBy("slice_key").applyInPandas(kernel, _OUT_SCHEMA)
+    return _by_slice(df).applyInPandas(kernel, _OUT_SCHEMA)

@@ -17,13 +17,13 @@ Semantics (SURVEY §2.9, north star):
 Execution shape (the scale story):
 
 - Arrow kernels are **chunked**: one group = one (conv_id, chunk) where the
-  chunk is a coarse calendar unit (default day), and the kernel emits one
+  chunk is a coarse calendar unit (default week), and the kernel emits one
   row per member bucket. This amortizes Spark's per-group and pandas'
   per-DataFrame overhead over hundreds of buckets — the difference between
   18k kernel calls and 300 at sf-small, and between 10^9 and 10^7 calls at
   10^12 turns.
 - a hot conversation splits across chunks, so kernel groups stay bounded
-  (one conv-day); the pure-relational dimension rollups absorb skew via
+  (one conv-week); the pure-relational dimension rollups absorb skew via
   map-side partial aggregation, and :func:`salted_agg` provides two-stage
   aggregation for demonstrably-equivalent skew handling on arbitrary keys.
 """
@@ -31,7 +31,7 @@ Execution shape (the scale story):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -53,6 +53,20 @@ _TIER_SCHEMA = (
 _TIER_SCHEMA_US = _TIER_SCHEMA.replace("bucket_start timestamp", "bucket_us long")
 
 
+def _kernel_input(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicitly hash-partition a grouped-kernel input by its keys.
+
+    AQE coalesces shuffle partitions by BYTES, which is the wrong heuristic
+    for Python-kernel stages: a few MB of tier rows can carry thousands of
+    CPU-bound kernel groups, and byte-coalescing serializes them onto one
+    core. An explicit repartition (user-specified partition counts are
+    respected by AQE) keeps kernel parallelism ∝ cores; the subsequent
+    groupBy reuses the partitioning, so no extra exchange is added.
+    """
+    n = 2 * df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys)
+
+
 def _restore_bucket(df: DataFrame) -> DataFrame:
     cols = [
         F.timestamp_micros(F.col("bucket_us")).alias("bucket_start")
@@ -65,70 +79,105 @@ def _restore_bucket(df: DataFrame) -> DataFrame:
 _GRAIN = {"minute": "minute", "hour": "hour", "day": "day", "week": "week", "month": "month"}
 
 
-def _tier_row(conv_id, bucket, n_turns, n_fail, ts_us, gaps, tl):
-    """One tier row from the QC-passing member points (f32 oracle math).
+def _npcol(tbl: "pa.Table", name: str) -> np.ndarray:
+    return tbl.column(name).to_numpy(zero_copy_only=False)
 
-    Fast path for single-point buckets (the common case at 1m grain):
-    sum == mean == p95 == the value, no sort/quantile call.
+
+def _f32col(tbl: "pa.Table", name: str) -> np.ndarray:
+    col = tbl.column(name)
+    if col.null_count:
+        col = col.fill_null(float("nan"))
+    return col.to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+
+
+def _tier_table(conv, buckets, starts, ts_us, gaps, tl, ok) -> "pa.Table":
+    """Columnar tier construction: one row per bucket boundary in `starts`.
+
+    Cheap fields (counts, fails, bucket keys) are fully vectorized; the
+    per-bucket loop carries only the f32 oracle math (sum/mean/quantile,
+    faithful to the oracle) and the Gorilla block encode. NaN doubles as the
+    NULL marker for the f32 measure columns (legit values are always finite).
     """
-    n_ok = tl.size
-    if n_ok == 1:
-        g0 = gaps[0]
-        has_gap = bool(np.isfinite(g0))
-        v = F32(g0) if has_gap else None
-        t0 = F32(tl[0])
-        return {
-            "conv_id": conv_id,
-            "bucket_us": bucket,
-            "n_turns": int(n_turns),
-            "n_qc_fail": int(n_fail),
-            "n_gap_obs": 0 if has_gap else 1,
-            "n_valid_gap": 1 if has_gap else 0,
-            "sum_gap": v,
-            "mean_gap": v,
-            "p95_gap": v,
-            "sum_text_len": int(t0),
-            "mean_text_len": t0,
-            "block": encode_block(ts_us, [gaps, tl]),
+    nb = starts.size - 1
+    counts = np.diff(starts).astype(np.int64)
+    csum_ok = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
+    n_ok_arr = csum_ok[starts[1:]] - csum_ok[starts[:-1]]
+    n_fail_arr = counts - n_ok_arr
+    bucket_out = buckets[starts[:-1]]
+
+    sum_gap = np.full(nb, np.nan, F32)
+    mean_gap = np.full(nb, np.nan, F32)
+    p95_gap = np.full(nb, np.nan, F32)
+    n_gap_obs = np.zeros(nb, np.int64)
+    n_valid = np.zeros(nb, np.int64)
+    sum_tl = np.zeros(nb, np.int64)
+    mean_tl = np.full(nb, np.nan, F32)
+    blocks = []
+    for k in range(nb):
+        lo, hi = starts[k], starts[k + 1]
+        m = ok[lo:hi]
+        g = gaps[lo:hi][m]
+        t_ = tl[lo:hi][m]
+        blocks.append(encode_block(ts_us[lo:hi][m], [g, t_]))
+        n_ok = t_.size
+        if n_ok == 0:
+            continue
+        if n_ok == 1:  # fast path: sum == mean == p95 == the value
+            g0 = g[0]
+            if np.isfinite(g0):
+                n_valid[k] = 1
+                sum_gap[k] = mean_gap[k] = p95_gap[k] = g0
+            else:
+                n_gap_obs[k] = 1
+            sum_tl[k] = int(t_[0])
+            mean_tl[k] = t_[0]
+            continue
+        finite = np.isfinite(g)
+        valid = g[finite]
+        nv = valid.size
+        n_gap_obs[k] = n_ok - nv
+        n_valid[k] = nv
+        if nv:
+            sg = F32(np.sum(valid, dtype=F32))
+            sum_gap[k] = sg
+            mean_gap[k] = F32(sg / F32(nv))
+            p95_gap[k] = compute_quantile(0.95, valid)
+        sum_tl[k] = int(t_.sum())
+        mean_tl[k] = F32(F32(np.sum(t_, dtype=F32)) / F32(n_ok))
+
+    return pa.table(
+        {
+            "conv_id": pa.array([conv] * nb, pa.string()),
+            "bucket_us": pa.array(bucket_out),
+            "n_turns": pa.array(counts),
+            "n_qc_fail": pa.array(n_fail_arr),
+            "n_gap_obs": pa.array(n_gap_obs),
+            "n_valid_gap": pa.array(n_valid),
+            "sum_gap": pa.array(sum_gap, from_pandas=True),
+            "mean_gap": pa.array(mean_gap, from_pandas=True),
+            "p95_gap": pa.array(p95_gap, from_pandas=True),
+            "sum_text_len": pa.array(sum_tl),
+            "mean_text_len": pa.array(mean_tl, from_pandas=True),
+            "block": pa.array(blocks, pa.binary()),
         }
-    valid = gaps[np.isfinite(gaps)]
-    n_valid = valid.size
-    if n_valid:
-        sum_gap = F32(np.sum(valid, dtype=F32))
-        mean_gap = F32(sum_gap / F32(n_valid))
-        p95_gap = compute_quantile(0.95, valid)
-    else:
-        sum_gap = mean_gap = p95_gap = None
-    return {
-        "conv_id": conv_id,
-        "bucket_us": bucket,
-        "n_turns": int(n_turns),
-        "n_qc_fail": int(n_fail),
-        "n_gap_obs": int(np.isnan(gaps).sum()),
-        "n_valid_gap": int(n_valid),
-        "sum_gap": sum_gap,
-        "mean_gap": mean_gap,
-        "p95_gap": p95_gap,
-        "sum_text_len": int(tl.sum()),
-        "mean_text_len": F32(F32(np.sum(tl, dtype=F32)) / F32(n_ok)) if n_ok else None,
-        "block": encode_block(ts_us, [gaps, tl]),
-    }
+    )
 
 
 def rollup_1m(
     df: DataFrame,
     fail_flag_col: str | None = "flag_dip",
     grain: str = "minute",
-    chunk_grain: str = "day",
+    chunk_grain: str = "week",
 ) -> DataFrame:
     """Finest tier from raw turns.
 
     Input: transcripts with turn metrics (turn_gap_s, text_len) and QC flag
-    columns. One shuffle on (conv_id, chunk); the Arrow kernel walks the
-    chunk's member buckets in turn order and emits one tier row per bucket.
-    NULL gap (first turn) is carried as NaN so the turn's text_len still
-    lands in the block; the quantile kernel drops non-finite exactly like
-    the reference (sct.rs:71-75).
+    columns. One shuffle on (conv_id, chunk); the Arrow-native kernel
+    (applyInArrow: no pandas materialization, numpy views over Arrow
+    buffers) walks the chunk's member buckets in turn order and emits one
+    tier row per bucket. NULL gap (first turn) is carried as NaN so the
+    turn's text_len still lands in the block; the quantile kernel drops
+    non-finite exactly like the reference (sct.rs:71-75).
     """
     ts = F.col("ts").cast("timestamp")
     fail = (
@@ -147,39 +196,26 @@ def rollup_1m(
         fail.alias("_is_fail"),
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(tbl: "pa.Table") -> "pa.Table":
         # ts is monotone in turn_idx per conversation, so sorting by turn_idx
         # also orders buckets; bucket boundaries come from one vectorized diff
-        order = np.argsort(pdf["turn_idx"].to_numpy(), kind="stable")
-        conv = pdf["conv_id"].iat[0]
-        buckets = pdf["bucket_us"].to_numpy(np.int64)[order]
-        ts_us = pdf["_ts_us"].to_numpy(np.int64)[order]
-        gaps = pdf["turn_gap_s"].to_numpy(F32)[order]  # NULL -> NaN
-        tl = pdf["text_len"].to_numpy(F32)[order]
-        ok = (pdf["_is_fail"].to_numpy() != 1)[order]
+        conv = tbl.column("conv_id")[0].as_py()
+        order = np.argsort(_npcol(tbl, "turn_idx"), kind="stable")
+        buckets = _npcol(tbl, "bucket_us").astype(np.int64, copy=False)[order]
+        ts_us = _npcol(tbl, "_ts_us").astype(np.int64, copy=False)[order]
+        gaps = _f32col(tbl, "turn_gap_s")[order]  # NULL -> NaN
+        tl = _f32col(tbl, "text_len")[order]
+        ok = (_npcol(tbl, "_is_fail") != 1)[order]
         n = buckets.size
         starts = np.concatenate(
             ([0], np.flatnonzero(buckets[1:] != buckets[:-1]) + 1, [n])
         )
-        rows = []
-        for k in range(starts.size - 1):
-            lo, hi = starts[k], starts[k + 1]
-            m = ok[lo:hi]
-            rows.append(
-                _tier_row(
-                    conv,
-                    int(buckets[lo]),
-                    hi - lo,
-                    (hi - lo) - int(m.sum()),
-                    ts_us[lo:hi][m],
-                    gaps[lo:hi][m],
-                    tl[lo:hi][m],
-                )
-            )
-        return pd.DataFrame(rows)
+        return _tier_table(conv, buckets, starts, ts_us, gaps, tl, ok)
 
     return _restore_bucket(
-        base.groupBy("conv_id", "_chunk").applyInPandas(kernel, _TIER_SCHEMA_US)
+        _kernel_input(base, "conv_id", "_chunk")
+        .groupBy("conv_id", "_chunk")
+        .applyInArrow(kernel, _TIER_SCHEMA_US)
     )
 
 
@@ -190,10 +226,10 @@ def rollup_coarser(tier: DataFrame, grain: str, chunk_grain: str | None = None) 
     (float64 accumulate, cast to f32 — order differences vanish below f32
     precision); exact p95 and the tier's own Gorilla block come from
     decoding + concatenating member blocks in bucket order. One shuffle on
-    (conv_id, chunk); chunk defaults to the target grain's natural parent
-    (day), and the kernel emits one row per coarse bucket.
+    (conv_id, chunk); the Arrow-native kernel emits one row per coarse
+    bucket.
     """
-    chunk_grain = chunk_grain or "day"
+    chunk_grain = chunk_grain or "week"
     bs = F.col("bucket_start")
     base = tier.select(
         "conv_id",
@@ -209,49 +245,78 @@ def rollup_coarser(tier: DataFrame, grain: str, chunk_grain: str | None = None) 
         F.unix_micros(F.date_trunc(_GRAIN[chunk_grain], bs)).alias("_chunk"),
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(pdf["bucket_us"].to_numpy(np.int64), kind="stable")
-        conv = pdf["conv_id"].iat[0]
-        coarse = pdf["_coarse"].to_numpy(np.int64)[order]
-        n_turns = pdf["n_turns"].to_numpy(np.int64)[order]
-        n_fail = pdf["n_qc_fail"].to_numpy(np.int64)[order]
-        n_valid_a = pdf["n_valid_gap"].to_numpy(np.int64)[order]
-        sum_gap_a = pdf["sum_gap"].to_numpy(np.float64)[order]
-        sum_tl_a = pdf["sum_text_len"].to_numpy(np.int64)[order]
-        blocks = pdf["block"].to_numpy(object)[order]
+    def kernel(tbl: "pa.Table") -> "pa.Table":
+        conv = tbl.column("conv_id")[0].as_py()
+        order = np.argsort(_npcol(tbl, "bucket_us"), kind="stable")
+        coarse = _npcol(tbl, "_coarse").astype(np.int64, copy=False)[order]
+        n_turns_a = _npcol(tbl, "n_turns").astype(np.int64, copy=False)[order]
+        n_fail_a = _npcol(tbl, "n_qc_fail").astype(np.int64, copy=False)[order]
+        n_valid_a = _npcol(tbl, "n_valid_gap").astype(np.int64, copy=False)[order]
+        sum_gap_col = tbl.column("sum_gap")
+        if sum_gap_col.null_count:
+            sum_gap_col = sum_gap_col.fill_null(float("nan"))
+        sum_gap_a = sum_gap_col.to_numpy(zero_copy_only=False).astype(np.float64)[order]
+        sum_tl_a = _npcol(tbl, "sum_text_len").astype(np.int64, copy=False)[order]
+        blocks_in = tbl.column("block").to_pylist()
+        blocks_in = [blocks_in[i] for i in order]
         n = coarse.size
         starts = np.concatenate(
             ([0], np.flatnonzero(coarse[1:] != coarse[:-1]) + 1, [n])
         )
-        rows = []
-        for k in range(starts.size - 1):
+        nb = starts.size - 1
+
+        out_bucket = coarse[starts[:-1]]
+        out_turns = np.add.reduceat(n_turns_a, starts[:-1]).astype(np.int64)
+        out_fail = np.add.reduceat(n_fail_a, starts[:-1]).astype(np.int64)
+        out_valid = np.add.reduceat(n_valid_a, starts[:-1]).astype(np.int64)
+        out_sum_tl = np.add.reduceat(sum_tl_a, starts[:-1]).astype(np.int64)
+        out_sum_gap = np.full(nb, np.nan, F32)
+        out_mean_gap = np.full(nb, np.nan, F32)
+        out_p95 = np.full(nb, np.nan, F32)
+        out_gap_obs = np.zeros(nb, np.int64)
+        out_mean_tl = np.full(nb, np.nan, F32)
+        out_blocks = []
+        for k in range(nb):
             lo, hi = starts[k], starts[k + 1]
-            decoded = [decode_block(bytes(b)) for b in blocks[lo:hi]]
+            decoded = [decode_block(bytes(b)) for b in blocks_in[lo:hi]]
             ts_us = np.concatenate([d[0] for d in decoded])
             gaps = np.concatenate([d[1][0] for d in decoded])
             tl = np.concatenate([d[1][1] for d in decoded])
-            row = _tier_row(
-                conv,
-                int(coarse[lo]),
-                n_turns[lo:hi].sum(),
-                n_fail[lo:hi].sum(),
-                ts_us,
-                gaps,
-                tl,
-            )
-            # decomposable sums override the decode-path values: partial+final
-            # float64 accumulation of the finer tier's f32 partials
-            n_valid = int(n_valid_a[lo:hi].sum())
-            row["n_valid_gap"] = n_valid
-            if n_valid:
-                row["sum_gap"] = F32(np.nansum(sum_gap_a[lo:hi]))
-                row["mean_gap"] = F32(row["sum_gap"] / F32(n_valid))
-            row["sum_text_len"] = int(sum_tl_a[lo:hi].sum())
-            rows.append(row)
-        return pd.DataFrame(rows)
+            out_blocks.append(encode_block(ts_us, [gaps, tl]))
+            n_ok = tl.size
+            finite = np.isfinite(gaps)
+            out_gap_obs[k] = int(n_ok - finite.sum())
+            nv = int(out_valid[k])
+            if nv:
+                # partial+final decomposition: f64 accumulate of f32 partials
+                sg = F32(np.nansum(sum_gap_a[lo:hi]))
+                out_sum_gap[k] = sg
+                out_mean_gap[k] = F32(sg / F32(nv))
+                out_p95[k] = compute_quantile(0.95, gaps[finite])
+            if n_ok:
+                out_mean_tl[k] = F32(F32(np.sum(tl, dtype=F32)) / F32(n_ok))
+
+        return pa.table(
+            {
+                "conv_id": pa.array([conv] * nb, pa.string()),
+                "bucket_us": pa.array(out_bucket),
+                "n_turns": pa.array(out_turns),
+                "n_qc_fail": pa.array(out_fail),
+                "n_gap_obs": pa.array(out_gap_obs),
+                "n_valid_gap": pa.array(out_valid),
+                "sum_gap": pa.array(out_sum_gap, from_pandas=True),
+                "mean_gap": pa.array(out_mean_gap, from_pandas=True),
+                "p95_gap": pa.array(out_p95, from_pandas=True),
+                "sum_text_len": pa.array(out_sum_tl),
+                "mean_text_len": pa.array(out_mean_tl, from_pandas=True),
+                "block": pa.array(out_blocks, pa.binary()),
+            }
+        )
 
     return _restore_bucket(
-        base.groupBy("conv_id", "_chunk").applyInPandas(kernel, _TIER_SCHEMA_US)
+        _kernel_input(base, "conv_id", "_chunk")
+        .groupBy("conv_id", "_chunk")
+        .applyInArrow(kernel, _TIER_SCHEMA_US)
     )
 
 

@@ -66,9 +66,16 @@ def build_tiers(
     False and rely on the write barrier instead.
     """
     flagged = qc_flags(df, params)
+    # the persisted projection drops `text` — the rollups only need text_len,
+    # and caching megabytes of strings costs far more than recomputing the
+    # (cheap, codegen'd) window stage ever would
+    slim = flagged.select(
+        "conv_id", "turn_idx", "ts", "role", "tool",
+        "turn_gap_s", "text_len", "flag_step", "flag_dip", "flag_flatline",
+    )
     if persist:
-        flagged = flagged.persist()
-    t1m = rollup_1m(flagged, fail_flag_col="flag_dip")
+        slim = slim.persist()
+    t1m = rollup_1m(slim, fail_flag_col="flag_dip")
     if persist:
         t1m = t1m.persist()
     t1h = rollup_coarser(t1m, "hour")
@@ -76,10 +83,11 @@ def build_tiers(
         t1h = t1h.persist()
     t1d = rollup_coarser(t1h, "day")
     return {
-        "turns_flagged": flagged,
+        "turns_flagged": flagged,  # full width (text kept), not cached
+        "_slim": slim,
         "tier_1m": t1m,
         "tier_1h": t1h,
         "tier_1d": t1d,
-        "rollup_role_1h": rollup_by_dimension(flagged, "role", "hour"),
-        "rollup_tool_1h": rollup_by_dimension(flagged, "tool", "hour"),
+        "rollup_role_1h": rollup_by_dimension(slim, "role", "hour"),
+        "rollup_tool_1h": rollup_by_dimension(slim, "tool", "hour"),
     }

@@ -120,7 +120,7 @@ def refresh_tiers(
     for table in DIM_TABLES:
         commit(table, tiers[table], new_days, [])  # flag-independent: no boundary
 
-    for t in ("turns_flagged", "tier_1m", "tier_1h"):
+    for t in ("_slim", "tier_1m", "tier_1h"):
         tiers[t].unpersist()
     return results
 

@@ -31,6 +31,14 @@ def get_spark(
         # the stage's input (AQE coalesces the excess).
         shuffle_partitions = max(2 * cores, 8)
 
+    # shuffle/spill to tmpfs when available: the sandbox's virtio disk
+    # serializes concurrent shuffle writers (measured 2.5x on the QC stage);
+    # on a real cluster this maps to executor-local NVMe
+    local_dir = None
+    if os.path.isdir("/dev/shm"):
+        local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark_local")
+        os.makedirs(local_dir, exist_ok=True)
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -47,6 +55,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
