@@ -140,7 +140,12 @@ _SQL: dict[str, tuple[str, str]] = {}
 
 
 def _reg(name: str, spark_sql: str, duck_sql: str):
-    _SQL[name] = (spark_sql, duck_sql)
+    # dialect quirk: Spark SQL string literals are escape-processed (the
+    # regex \s must appear as \\s in the SQL text) while DuckDB literals
+    # are standard-SQL raw. Queries here are written with single-backslash
+    # regexes (DuckDB-ready); double them for the Spark parser. No query
+    # uses a backslash for anything but regexes.
+    _SQL[name] = (spark_sql.replace(chr(92), chr(92) * 2), duck_sql.replace(chr(92) * 2, chr(92)))
 
 
 # 1. source scan + stable turn ordering + per-turn text passthrough
@@ -482,6 +487,203 @@ _reg("q20_lineitem_pricing_summary", _Q1, _Q1)
 
 
 # ---------------------------------------------------------------------------
+# dedup / text-analysis / similarity over documents + embeddings
+# (training-data-pipeline operators; SQL oracles where ANSI-expressible)
+# ---------------------------------------------------------------------------
+
+_NORM_TXT_DUCK = "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
+
+# 25. exact dedup: keep-first by normalized-text fingerprint
+_reg(
+    "q25_dedup_exact",
+    "SELECT md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ')))"
+    " AS fingerprint, min(doc_id) AS keep_doc_id, count(*) AS n_docs"
+    " FROM documents GROUP BY fingerprint",
+    f"SELECT md5({_NORM_TXT_DUCK}) AS fingerprint, min(doc_id) AS keep_doc_id,"
+    f" count(*) AS n_docs FROM documents GROUP BY fingerprint",
+)
+
+# 26. n-gram (3-shingle) Jaccard near-dup pairs, integer-exact counts
+_SHJ_SPARK = """
+WITH t AS (
+  SELECT doc_id,
+         filter(split(trim(lower(coalesce(text, ''))), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', slice(toks, i, 3)) AS shingle
+  FROM t LATERAL VIEW explode(sequence(1, size(toks) - 2)) AS i
+  WHERE size(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+FROM common c
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE c.n_common >= 0.8 * (sa.n_sh + sb.n_sh - c.n_common)
+"""
+_SHJ_DUCK = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle
+  FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS g(i)
+  WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+FROM common c
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE c.n_common >= 0.8 * (sa.n_sh + sb.n_sh - c.n_common)
+"""
+_reg("q26_ngram_jaccard_pairs", _SHJ_SPARK, _SHJ_DUCK)
+
+# 27. token counting: whitespace + BPE-ish regex classes
+_BPE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+_reg(
+    "q27_token_stats",
+    f"""SELECT doc_id,
+       CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+            ELSE size(split(trim(coalesce(text, '')), '\\s+')) END AS ws_tokens,
+       regexp_count(coalesce(text, ''), '{_BPE}') AS bpe_tokens
+    FROM documents""",
+    f"""SELECT doc_id,
+       CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+            ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS ws_tokens,
+       len(regexp_extract_all(coalesce(text, ''), '{_BPE}')) AS bpe_tokens
+    FROM documents""",
+)
+
+# 28. quality scoring: alpha/punct/length/stopword components, floor(score*1e6)
+_Q_SPARK = """
+SELECT doc_id, n_chars, n_alpha, n_punct, n_stop,
+       CAST(floor((n_alpha / s + (1.0 - n_punct / s)
+                   + least(n_chars / 500.0, 1.0)
+                   + least(n_stop / 20.0, 1.0)) / 4.0 * 1e6) AS BIGINT) AS quality_x1e6
+FROM (
+  SELECT doc_id,
+         length(coalesce(text, '')) AS n_chars,
+         length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[A-Za-z]', '')) AS n_alpha,
+         length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), {NOPUNCT}, '')) AS n_punct,
+         {NSTOP} AS n_stop,
+         greatest(CAST(length(coalesce(text, '')) AS DOUBLE), 1.0) AS s
+  FROM documents
+)
+"""
+_reg(
+    "q28_quality_score",
+    _Q_SPARK.replace("{NOPUNCT}", "'[^\\w\\s]'").replace(
+        "{NSTOP}", "regexp_count(lower(coalesce(text, '')), '\\b(the|and|of|to|is)\\b')"
+    ),
+    _Q_SPARK.replace("{NOPUNCT}", "'[^\\w\\s]'").replace(
+        "{NSTOP}",
+        "len(regexp_extract_all(lower(coalesce(text, '')), '\\b(the|and|of|to|is)\\b'))",
+    ).replace(
+        "length(regexp_replace(coalesce(text, ''), '[A-Za-z]', ''))",
+        "length(regexp_replace(coalesce(text, ''), '[A-Za-z]', '', 'g'))",
+    ).replace(
+        "length(regexp_replace(coalesce(text, ''), '[^\\w\\s]', ''))",
+        "length(regexp_replace(coalesce(text, ''), '[^\\w\\s]', '', 'g'))",
+    ),
+)
+
+# 29. heuristic language ID: stopword-marker argmax (earlier lang wins ties)
+_LANG_CASE = """CASE
+  WHEN he >= 1 AND he >= hs AND he >= hd AND he >= hf THEN 'en'
+  WHEN hs >= 1 AND hs >= hd AND hs >= hf THEN 'es'
+  WHEN hd >= 1 AND hd >= hf THEN 'de'
+  WHEN hf >= 1 THEN 'fr'
+  ELSE 'unknown' END"""
+_LANG_SPARK = f"""
+SELECT doc_id, he AS hits_en, hs AS hits_es, hd AS hits_de, hf AS hits_fr,
+       {_LANG_CASE} AS lang_guess
+FROM (
+  SELECT doc_id,
+    regexp_count(lower(coalesce(text, '')), '\\b(the|and|of|to|is)\\b') AS he,
+    regexp_count(lower(coalesce(text, '')), '\\b(el|la|de|que|y)\\b') AS hs,
+    regexp_count(lower(coalesce(text, '')), '\\b(der|die|und|das|ist)\\b') AS hd,
+    regexp_count(lower(coalesce(text, '')), '\\b(le|la|les|des|est)\\b') AS hf
+  FROM documents
+)
+"""
+_LANG_DUCK = f"""
+SELECT doc_id, he AS hits_en, hs AS hits_es, hd AS hits_de, hf AS hits_fr,
+       {_LANG_CASE} AS lang_guess
+FROM (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(coalesce(text, '')), '\\b(the|and|of|to|is)\\b')) AS he,
+    len(regexp_extract_all(lower(coalesce(text, '')), '\\b(el|la|de|que|y)\\b')) AS hs,
+    len(regexp_extract_all(lower(coalesce(text, '')), '\\b(der|die|und|das|ist)\\b')) AS hd,
+    len(regexp_extract_all(lower(coalesce(text, '')), '\\b(le|la|les|des|est)\\b')) AS hf
+  FROM documents
+)
+"""
+_reg("q29_lang_id", _LANG_SPARK, _LANG_DUCK)
+
+# 30. per-document content fingerprint
+_reg(
+    "q30_fingerprint",
+    "SELECT doc_id, md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ')))"
+    " AS fingerprint FROM documents",
+    f"SELECT doc_id, md5({_NORM_TXT_DUCK}) AS fingerprint FROM documents",
+)
+
+# 31. brute-force cosine top-k (exact ANN baseline)
+_COS_SPARK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS ARRAY<DOUBLE>) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS cv FROM embeddings)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT q.query_id, c.vec_id,
+         round(aggregate(zip_with(c.cv, q.qv, (x, y) -> x * y), 0D, (a, v) -> a + v)
+               / (sqrt(aggregate(zip_with(c.cv, c.cv, (x, y) -> x * y), 0D, (a, v) -> a + v))
+                  * sqrt(aggregate(zip_with(q.qv, q.qv, (x, y) -> x * y), 0D, (a, v) -> a + v))), 6)
+           AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           round(aggregate(zip_with(c.cv, q.qv, (x, y) -> x * y), 0D, (a, v) -> a + v)
+               / (sqrt(aggregate(zip_with(c.cv, c.cv, (x, y) -> x * y), 0D, (a, v) -> a + v))
+                  * sqrt(aggregate(zip_with(q.qv, q.qv, (x, y) -> x * y), 0D, (a, v) -> a + v))), 6) DESC,
+           c.vec_id ASC) AS rank
+  FROM c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+) WHERE rank <= 10
+"""
+_COS_DUCK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(c.cv, q.qv)
+               / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+           AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           round(list_dot_product(c.cv, q.qv)
+               / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+           c.vec_id ASC) AS rank
+  FROM c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+) WHERE rank <= 10
+"""
+_reg("q31_cosine_topk", _COS_SPARK, _COS_DUCK)
+
+
+# ---------------------------------------------------------------------------
 # engine-native queries (grouped kernels — rows-only driver check; bit-exact
 # parity is covered by the pytest oracle suite, SURVEY §5 Tier A/B)
 # ---------------------------------------------------------------------------
@@ -586,6 +788,45 @@ def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification (engine
+    hash functions are not ANSI-SQL-reproducible -> rows-only check; the
+    pytest suite proves candidate pairs match brute-force Jaccard)."""
+    from olympian_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, threshold=0.7).orderBy("doc_a", "doc_b")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olympian_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olympian_spark.operators.similarity import lsh_ann_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return lsh_ann_topk(emb, qs, dim=64, k=10, n_planes=6, multiprobe_bits=2)
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olympian_spark.operators.multimodal import extract_features, gen_fake_media
+
+    media = gen_fake_media(spark, n=120)
+    feats = extract_features(media)
+    from pyspark.sql import functions as F
+
+    return feats.select(
+        "media_id", "kind", F.round(F.aggregate("feature", F.lit(0.0),
+                                                lambda a, v: a + v), 6).alias("feat_sum")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with
     exact p95 + Gorilla blocks over the events-derived transcripts."""
@@ -600,6 +841,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q22_sct_kernel"] = q_sct
     out["q23_tier_pipeline_1h"] = q_tier_pipeline
     out["q24_gorilla_roundtrip"] = q_gorilla_roundtrip
+    out["q32_minhash_lsh_pairs"] = q_minhash_lsh
+    out["q33_simhash_pairs"] = q_simhash
+    out["q34_ann_lsh_topk"] = q_ann_lsh
+    out["q35_multimodal_features"] = q_multimodal
     return out
 
 

@@ -1,0 +1,244 @@
+"""Deduplication operators over a documents table (doc_id, text, ...).
+
+Four strategies, each a composition of built-in DataFrame ops (Catalyst
+optimizable, shuffle-conscious), scaling from exact to fuzzy:
+
+- :func:`exact_dedup` — hash-groupBy on the normalized-text fingerprint;
+  one shuffle, keep-first (min doc_id) semantics.
+- :func:`ngram_jaccard_pairs` — exact n-gram-shingle Jaccard for candidate
+  pairs sharing at least one shingle: explode -> self-join on shingle ->
+  count distinct common shingles / union. The shingle join is the scale
+  path (pairs never materialize beyond shared-shingle candidates); a
+  frequency cap drops stop-shingles that would explode the join.
+- :func:`minhash_lsh_pairs` — MinHash signatures (k permutations as k
+  min-aggregates in ONE groupBy — a single shuffle, JVM-side) banded into
+  LSH buckets; bucket-mates are candidates, verified with exact Jaccard.
+- :func:`simhash_pairs` — 64-bit SimHash per document (weighted token
+  hash bit-voting, computed relationally with explode + bit arithmetic),
+  banded on 16-bit chunks, hamming-verified.
+
+At 100 TB: every strategy is (narrow map) -> (explode) -> (hash shuffle on
+shingle/band) -> (bounded join). No driver-side collection, no cross joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from olympian_spark.operators.textstats import with_fingerprint
+
+
+def _tokens(col="text"):
+    t = F.lower(F.coalesce(F.col(col), F.lit("")))
+    return F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+
+
+def _shingles(n: int = 3):
+    """Word n-gram shingles as strings (distinct per doc)."""
+    toks = _tokens()
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def exact_dedup(df: DataFrame) -> DataFrame:
+    """Keep-first exact dedup on normalized text. Returns
+    (fingerprint, keep_doc_id, n_dups)."""
+    return (
+        with_fingerprint(df)
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def _shingle_table(df: DataFrame, n: int, max_doc_freq: int | None) -> DataFrame:
+    sh = df.select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+    if max_doc_freq:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(freq.filter(F.col("_df") <= max_doc_freq), "shingle")
+        sh = sh.select("doc_id", "shingle")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs (doc_a < doc_b).
+
+    Output: (doc_a, doc_b, n_common, n_a, n_b) with
+    jaccard = n_common / (n_a + n_b - n_common) >= threshold. Counts are
+    integers -> cross-engine exact.
+    """
+    sh = _shingle_table(df, n, max_doc_freq)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("n_common")
+            >= F.lit(threshold) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+    )
+    return out.select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+
+
+# deterministic MinHash permutation parameters (public textbook scheme:
+# h_i(x) = (a_i * x + b_i) mod p). p = 2^31 - 1 keeps a*x inside int64
+# (a, x < 2^31 -> product < 2^62), avoiding ANSI long-overflow.
+_MH_P = (1 << 31) - 1
+
+
+def _mh_params(k: int, seed: int = 7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MH_P - 1, size=k, dtype=np.int64)
+    b = rng.integers(0, _MH_P - 1, size=k, dtype=np.int64)
+    return a.tolist(), b.tolist()
+
+
+def minhash_signatures(df: DataFrame, n: int = 3, k: int = 32) -> DataFrame:
+    """(doc_id, sig: array<long>) — k MinHash values in ONE groupBy.
+
+    shingle -> 64-bit xxhash -> k affine permutations -> min per doc. The k
+    mins are k aggregate expressions over one shuffle (no crossJoin with a
+    permutation table).
+    """
+    a, b = _mh_params(k)
+    sh = df.select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+    x = (F.abs(F.xxhash64("shingle")) % F.lit(_MH_P)).alias("x")
+    sh = sh.select("doc_id", x)
+    aggs = [
+        F.min((F.col("x") * F.lit(int(a[i])) + F.lit(int(b[i]))) % F.lit(_MH_P)).alias(f"h{i}")
+        for i in range(k)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    Bands of k/bands rows hash to buckets; same-bucket pairs are candidates;
+    exact shingle Jaccard (integer counts) filters at ``threshold``.
+    Output: (doc_a, doc_b, n_common, n_a, n_b).
+    """
+    rows = k // bands
+    sig = minhash_signatures(df, n, k)
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(F.concat_ws(",", *[F.col("sig")[i * rows + j] for j in range(rows)])).alias("bh"),
+        )
+        for i in range(bands)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    l_ = banded.alias("l")
+    r_ = banded.alias("r")
+    cand = (
+        l_.join(
+            r_,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on the candidate set only
+    sh = df.select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .filter(
+            F.col("n_common")
+            >= F.lit(threshold) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+    )
+    return out.select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+
+
+def simhash_signatures(df: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc, fully relational: token -> xxhash64 ->
+    per-bit +-1 votes weighted by term frequency -> sign -> bit assembly."""
+    tok = df.select("doc_id", F.explode(_tokens()).alias("tok"))
+    tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("w"))
+    tok = tok.withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band on 16-bit chunks (pigeonhole: any
+    pair within hamming<=3 shares at least one of 4 exact chunks), verify
+    hamming distance exactly via bit_count(xor)."""
+    sig = simhash_signatures(df)
+    chunks = [
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"))
+        for i in range(4)
+    ]
+    banded = sig.select("doc_id", "simhash", F.explode(F.array(*chunks)).alias("b")).select(
+        "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    l_ = banded.alias("l")
+    r_ = banded.alias("r")
+    pairs = (
+        l_.join(
+            r_,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,180 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`cosine_topk` — exact brute-force top-k: broadcast the (small)
+  query set, JVM-side dot products via ``aggregate(zip_with(...))``, window
+  top-k. The correctness baseline; O(|Q| x N) but embarrassingly parallel
+  and broadcast-join shaped (no shuffle of the corpus).
+- :func:`lsh_ann_topk` — the scale path: random-hyperplane LSH (signed
+  projections -> bucket id), candidates = same-bucket (+ optional
+  multiprobe on 1-bit flips), exact rerank inside buckets. Sub-linear
+  candidate sets at 100 TB corpus scale; recall is property-tested against
+  the brute-force baseline.
+- :func:`embedding_near_dup_pairs` — near-duplicate detection by cosine >=
+  threshold within LSH buckets (the embedding-space analogue of MinHash
+  dedup).
+
+Everything is DataFrame-native; the only numpy is driver-side generation of
+the (tiny, seeded) hyperplane matrix, shipped as literals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours for each query vector.
+
+    Output: (query_id, vec_id, cos_sim, rank) with deterministic tiebreak
+    (cos rounded to 1e-6, then vec_id).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    joined = c.crossJoin(F.broadcast(q.withColumn("qv", F.col("qv").cast("array<double>"))))
+    joined = joined.filter(F.col("vec_id") != F.col("query_id"))
+    cos = (_dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))).alias("cos_sim")
+    scored = joined.select("query_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_planes, dim)).round(6).tolist()
+
+
+def with_lsh_bucket(
+    df: DataFrame, dim: int, n_planes: int = 12, vec_col: str = "embedding",
+    seed: int = 13,
+) -> DataFrame:
+    """Random-hyperplane bucket id: bit i = sign(<v, h_i>)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    v = F.col(vec_col).cast("array<double>")
+    for i, p in enumerate(planes):
+        h = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(v, h) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    multiprobe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket or any
+    bucket within ``multiprobe_bits`` bit-flips; exact cosine rerank inside
+    the candidate set. Output schema matches :func:`cosine_topk`."""
+    c = with_lsh_bucket(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")),
+        dim, n_planes, vec_col="cv",
+    )
+    q = with_lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        dim, n_planes, vec_col="qv",
+    )
+    # probe buckets: own + 1-bit (and optionally 2-bit) flips — classic
+    # multiprobe: neighbouring sign-patterns are the likeliest to hold the
+    # true nearest vectors that landed just across a hyperplane
+    probes = [F.col("lsh_bucket")]
+    if multiprobe_bits >= 1:
+        probes += [
+            F.col("lsh_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ]
+    if multiprobe_bits >= 2:
+        probes += [
+            F.col("lsh_bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    q = q.select(
+        "query_id", "qv", F.explode(F.array(*probes)).alias("lsh_bucket")
+    )
+    cand = c.join(q, "lsh_bucket").filter(F.col("vec_id") != F.col("query_id"))
+    cos = (
+        _dot(F.col("cv").cast("array<double>"), F.col("qv").cast("array<double>"))
+        / (_norm(F.col("cv").cast("array<double>")) * _norm(F.col("qv").cast("array<double>")))
+    )
+    scored = cand.select(
+        "query_id", "vec_id", F.round(cos, 6).alias("cos_sim")
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cos >= threshold) within LSH buckets."""
+    c = with_lsh_bucket(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+        dim, n_planes, vec_col="v",
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = (
+        _dot(F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>"))
+        / (
+            _norm(F.col("a.v").cast("array<double>"))
+            * _norm(F.col("b.v").cast("array<double>"))
+        )
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
