@@ -1,0 +1,128 @@
+"""Structured Streaming ingestion for the tier pipeline.
+
+The north rule is batch-incremental (snapshot-to-snapshot refresh handles
+it — plans/refresh.py), but the engine also exposes the streaming front
+door for continuously-arriving transcripts:
+
+- :func:`streaming_rollup_1m` — watermarked tumbling-window aggregation of
+  the decomposable 1m measures (counts, text-len sums). Late turns within
+  the watermark are folded in; the exact-p95/Gorilla columns stay on the
+  batch refresh path (they need whole-bucket recompute, which the
+  incremental refresh does per changed partition).
+- :func:`streaming_turn_gaps` — per-conversation turn_gap_s on a stream via
+  ``applyInPandasWithState``: state = (last_ts_us, last_turn_idx) per
+  conv_id; each micro-batch emits gap rows for its new turns. This is the
+  streaming analogue of the stage-1 lag window.
+
+Both are tested with file sources and ``trigger(availableNow=True)``
+against the batch pipeline's answers.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from olympian_spark.schemas import TRANSCRIPTS_SCHEMA
+
+
+def read_transcripts_stream(spark: SparkSession, path: str) -> DataFrame:
+    return spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(path)
+
+
+def streaming_rollup_1m(
+    stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Decomposable 1m measures with late-data handling.
+
+    Watermark bounds state: buckets older than max(event time) - watermark
+    finalize and evict. Output mode 'append' emits each bucket exactly once
+    (after finalization) — the streaming partials that the batch
+    rollup_coarser path can fold upward.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("sum_text_len"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("bucket_start"),
+            "n_turns",
+            "sum_text_len",
+        )
+    )
+
+
+_GAP_OUT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("ts_us", LongType()),
+        StructField("turn_gap_s", FloatType()),
+    ]
+)
+_GAP_STATE = StructType(
+    [StructField("last_ts_us", LongType()), StructField("last_turn_idx", IntegerType())]
+)
+
+
+def _gap_fn(key, pdf_iter, state: GroupState):
+    (conv_id,) = key
+    last_ts, last_idx = state.get if state.exists else (None, None)
+    outs = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("turn_idx")
+        ts_us = (
+            pdf["ts"].dt.tz_localize(None).astype("datetime64[us]").astype("int64")
+            if pdf["ts"].dt.tz is not None
+            else pdf["ts"].astype("datetime64[us]").astype("int64")
+        )
+        gaps = []
+        for t in ts_us:
+            gaps.append(None if last_ts is None else (t - last_ts) / 1e6)
+            last_ts = int(t)
+        last_idx = int(pdf["turn_idx"].iloc[-1])
+        outs.append(
+            pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": pdf["turn_idx"].to_numpy(),
+                    "ts_us": ts_us.to_numpy() if hasattr(ts_us, "to_numpy") else ts_us,
+                    "turn_gap_s": pd.array(gaps, dtype="float32"),
+                }
+            )
+        )
+    state.update((last_ts, last_idx))
+    yield pd.concat(outs) if outs else pd.DataFrame(columns=_GAP_OUT.fieldNames())
+
+
+def streaming_turn_gaps(stream: DataFrame) -> DataFrame:
+    """Per-conversation turn gaps with persistent per-conv state.
+
+    Assumes per-conversation event-time order across micro-batches (the
+    transcripts contract: turn_idx monotone in ts). State is two longs per
+    live conversation — bounded, evictable via timeout in production."""
+    return (
+        stream.select("conv_id", "turn_idx", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _gap_fn,
+            _GAP_OUT,
+            _GAP_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,90 @@
+"""Structured Streaming: file-source micro-batches vs the batch answers."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from olympian_spark.datagen import gen_transcripts
+from olympian_spark.streaming.rollup_stream import (
+    read_transcripts_stream,
+    streaming_rollup_1m,
+    streaming_turn_gaps,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    """Two micro-batch files split mid-conversation (forces cross-batch
+    state for the gap operator)."""
+    d = tmp_path_factory.mktemp("stream")
+    table = gen_transcripts(n_turns=4_000, n_convs=20, seed=9)
+    df = table.to_pandas().sort_values(["ts"]).reset_index(drop=True)
+    half = len(df) // 2
+    for i, part in enumerate((df.iloc[:half], df.iloc[half:])):
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       os.path.join(str(d), f"batch{i}.parquet"))
+    return str(d)
+
+
+def test_streaming_rollup_counts_match_batch(spark, stream_dir, tmp_path):
+    stream = read_transcripts_stream(spark, stream_dir)
+    agg = streaming_rollup_1m(stream, watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("s1m")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM s1m").toPandas()
+
+    batch = (
+        spark.read.parquet(stream_dir)
+        .groupBy(F.date_trunc("minute", "ts").alias("bucket_start"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"),
+             F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("sum_text_len"))
+        .toPandas()
+    )
+    # append mode emits only buckets older than the final watermark; every
+    # emitted bucket must match the batch answer exactly
+    merged = got.merge(batch, on=["conv_id", "bucket_start"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got) and len(got) > 0
+    assert (merged.n_turns_s == merged.n_turns_b).all()
+    assert (merged.sum_text_len_s == merged.sum_text_len_b).all()
+
+
+def test_streaming_turn_gaps_match_batch_lag(spark, stream_dir, tmp_path):
+    stream = read_transcripts_stream(spark, stream_dir)
+    gaps = streaming_turn_gaps(stream)
+    q = (
+        gaps.writeStream.format("memory")
+        .queryName("sgaps")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sgaps").toPandas()
+
+    from olympian_spark.sources.transcripts import with_turn_metrics
+
+    batch = (
+        with_turn_metrics(spark.read.parquet(stream_dir))
+        .select("conv_id", "turn_idx", "turn_gap_s")
+        .toPandas()
+    )
+    merged = batch.merge(got, on=["conv_id", "turn_idx"], suffixes=("_b", "_s"))
+    assert len(merged) == len(batch) == len(got)
+    import numpy as np
+
+    a = merged.turn_gap_s_b.to_numpy(np.float32)
+    b = merged.turn_gap_s_s.to_numpy(np.float32)
+    both_nan = np.isnan(a) & np.isnan(b)
+    assert (both_nan | (a.view(np.uint32) == b.view(np.uint32))).all()
