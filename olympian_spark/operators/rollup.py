@@ -36,7 +36,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from olympian_spark.flags import Flag
-from olympian_spark.functions.gorilla import decode_block, encode_block
+from olympian_spark.functions.gorilla import (
+    decode_block,
+    encode_block,
+    encode_singleton_blocks,
+)
 from olympian_spark.oracle.quantile import compute_quantile
 
 F32 = np.float32
@@ -112,25 +116,37 @@ def _tier_table(conv, buckets, starts, ts_us, gaps, tl, ok) -> "pa.Table":
     n_valid = np.zeros(nb, np.int64)
     sum_tl = np.zeros(nb, np.int64)
     mean_tl = np.full(nb, np.nan, F32)
-    blocks = []
-    for k in range(nb):
+    blocks: list = [None] * nb
+
+    # singleton buckets (the common case at 1m grain over sparse convs) are
+    # processed wholly vectorized: sum == mean == p95 == the value, block
+    # bytes assembled as a fixed-layout matrix (encode_singleton_blocks)
+    single = n_ok_arr == 1
+    if single.any():
+        sidx = np.flatnonzero(single)
+        okpos = np.flatnonzero(ok)
+        row = okpos[csum_ok[starts[sidx]]]  # the single passing row per bucket
+        g0 = gaps[row]
+        t0 = tl[row]
+        fin = np.isfinite(g0)
+        n_valid[sidx] = fin.astype(np.int64)
+        n_gap_obs[sidx] = (~fin).astype(np.int64)
+        sum_gap[sidx] = g0
+        mean_gap[sidx] = g0
+        p95_gap[sidx] = g0
+        sum_tl[sidx] = t0.astype(np.int64)
+        mean_tl[sidx] = t0
+        for k, blk in zip(sidx, encode_singleton_blocks(ts_us[row], g0, t0)):
+            blocks[k] = blk
+
+    for k in np.flatnonzero(~single):
         lo, hi = starts[k], starts[k + 1]
         m = ok[lo:hi]
         g = gaps[lo:hi][m]
         t_ = tl[lo:hi][m]
-        blocks.append(encode_block(ts_us[lo:hi][m], [g, t_]))
+        blocks[k] = encode_block(ts_us[lo:hi][m], [g, t_])
         n_ok = t_.size
         if n_ok == 0:
-            continue
-        if n_ok == 1:  # fast path: sum == mean == p95 == the value
-            g0 = g[0]
-            if np.isfinite(g0):
-                n_valid[k] = 1
-                sum_gap[k] = mean_gap[k] = p95_gap[k] = g0
-            else:
-                n_gap_obs[k] = 1
-            sum_tl[k] = int(t_[0])
-            mean_tl[k] = t_[0]
             continue
         finite = np.isfinite(g)
         valid = g[finite]

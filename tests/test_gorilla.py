@@ -62,3 +62,17 @@ def test_negative_dod_and_large_jumps():
         [0, 10, 15, 100000, 100001, 100002, 2**40, 2**40 + 1], dtype=np.int64
     )
     _roundtrip(ts, [np.arange(8, dtype=np.float32)])
+
+
+def test_singleton_blocks_byte_identical():
+    from olympian_spark.functions.gorilla import encode_singleton_blocks
+
+    rng = np.random.default_rng(8)
+    ts = rng.integers(0, 2**60, size=500).astype(np.int64)
+    a = rng.normal(0, 100, 500).astype(np.float32)
+    b = rng.integers(0, 1000, 500).astype(np.float32)
+    a[::7] = np.nan
+    vec = encode_singleton_blocks(ts, a, b)
+    for i in range(500):
+        ref = encode_block(ts[i : i + 1], [a[i : i + 1], b[i : i + 1]])
+        assert vec[i] == ref, f"mismatch at {i}"
