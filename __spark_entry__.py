@@ -486,6 +486,57 @@ GROUP BY l_returnflag, l_linestatus
 _reg("q20_lineitem_pricing_summary", _Q1, _Q1)
 
 
+# 36. grouping sets over (role, tool): multi-level aggregates in one pass
+_GSETS = """
+SELECT coalesce(role, '(all)') AS role_g, coalesce(tool, '(all)') AS tool_g,
+       count(*) AS n_turns
+FROM ({T})
+GROUP BY GROUPING SETS ((role, tool), (role), (tool), ())
+"""
+_reg("q36_grouping_sets", _GSETS.format(T=_T_SPARK), _GSETS.format(T=_T_DUCK))
+
+# 37. pivot-style rollup: per-conversation role mix as conditional aggregates
+_PIVOT = """
+SELECT conv_id,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
+       sum(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS n_system,
+       sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool
+FROM ({T})
+GROUP BY conv_id
+"""
+_reg("q37_role_pivot", _PIVOT.format(T=_T_SPARK), _PIVOT.format(T=_T_DUCK))
+
+# 38. as-of join: each purchase turn gets the user's most recent prior error
+#     (Spark: union-LOCF single-shuffle plan; DuckDB: native ASOF JOIN)
+_ASOF_SPARK = f"""
+WITH t AS ({_T_SPARK}),
+tagged AS (
+  SELECT conv_id, ts, turn_idx, role,
+         CASE WHEN tool = 'bash' THEN 0 ELSE 1 END AS side,
+         CASE WHEN tool = 'bash' THEN unix_micros(ts) END AS err_us
+  FROM t WHERE role = 'assistant' OR tool = 'bash'
+),
+filled AS (
+  SELECT *, last(err_us, true) OVER (
+    PARTITION BY conv_id ORDER BY ts, side
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err_us
+  FROM tagged
+)
+SELECT conv_id, turn_idx, last_err_us
+FROM filled WHERE side = 1
+"""
+_ASOF_DUCK = f"""
+WITH t AS ({_T_DUCK}),
+purchases AS (SELECT conv_id, ts, turn_idx FROM t WHERE role = 'assistant'),
+errors AS (SELECT conv_id, ts, epoch_us(ts) AS err_us FROM t WHERE tool = 'bash')
+SELECT p.conv_id, p.turn_idx, e.err_us AS last_err_us
+FROM purchases p ASOF LEFT JOIN errors e
+  ON p.conv_id = e.conv_id AND p.ts >= e.ts
+"""
+_reg("q38_asof_join", _ASOF_SPARK, _ASOF_DUCK)
+
+
 # ---------------------------------------------------------------------------
 # dedup / text-analysis / similarity over documents + embeddings
 # (training-data-pipeline operators; SQL oracles where ANSI-expressible)

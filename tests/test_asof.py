@@ -1,0 +1,31 @@
+"""as-of join operator: union-LOCF plan vs hand-computed expectations."""
+
+import datetime as dt
+
+from olympian_spark.operators.asof import asof_join
+
+
+def test_asof_join_semantics(spark):
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [
+            ("a", T(2024, 1, 1, 0, 0, 10), 1),
+            ("a", T(2024, 1, 1, 0, 1, 0), 2),
+            ("a", T(2024, 1, 1, 0, 5, 0), 3),
+            ("b", T(2024, 1, 1, 0, 0, 5), 4),   # no prior right row
+        ],
+        "k string, ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", T(2024, 1, 1, 0, 0, 10), 100.0),  # simultaneous: visible (<=)
+            ("a", T(2024, 1, 1, 0, 2, 0), 200.0),
+            ("b", T(2024, 1, 1, 0, 0, 30), 300.0),  # after left row: invisible
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = {
+        r.lid: r.v_asof
+        for r in asof_join(left, right, key="k", payload_cols=["v"]).collect()
+    }
+    assert out == {1: 100.0, 2: 100.0, 3: 200.0, 4: None}
