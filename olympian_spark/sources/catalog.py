@@ -208,3 +208,67 @@ class ParquetManifestCatalog:
 def with_bucket_date(df: DataFrame, src_col: str = "bucket_start") -> DataFrame:
     """Standard partition column: calendar date of the bucket."""
     return df.withColumn("bucket_date", F.to_date(F.col(src_col)))
+
+
+class IcebergCatalog:
+    """Production storage backend: the same contract as
+    :class:`ParquetManifestCatalog` implemented with real Iceberg operations.
+
+    Requires an Iceberg runtime jar + a configured catalog (not present in
+    this sandbox — the constructor verifies and raises with instructions).
+    The method bodies are the exact production translations of the fallback:
+
+    - overwrite_partitions -> ``df.writeTo(table).overwritePartitions()``
+      (snapshot-isolated dynamic overwrite)
+    - delete_where_older   -> ``DELETE FROM t WHERE bucket_date < cutoff``
+      (metadata-only partition drop for partition-aligned predicates)
+    - committed_partitions / lineage -> the ``.snapshots`` / ``.files``
+      metadata tables; input watermarks ride on snapshot summary properties
+      via ``spark.sql(... SET TBLPROPERTIES ...)`` or write options.
+    """
+
+    def __init__(self, spark: SparkSession, catalog_name: str = "iceberg"):
+        self.spark = spark
+        self.catalog = catalog_name
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog_name}", None)
+        if not impl:
+            raise RuntimeError(
+                f"No Iceberg catalog '{catalog_name}' configured "
+                "(spark.sql.catalog.* unset / runtime jar missing). Use "
+                "ParquetManifestCatalog in this sandbox; on a cluster, add "
+                "iceberg-spark-runtime and spark.sql.catalog.iceberg=..."
+            )
+
+    def overwrite_partitions(self, table: str, df: DataFrame,
+                             partition_col: str = "bucket_date",
+                             input_watermark: str | None = None):
+        writer = df.writeTo(f"{self.catalog}.{table}")
+        if input_watermark:
+            writer = writer.option("snapshot-property.input_watermark", input_watermark)
+        writer.overwritePartitions()
+        return self.current_snapshot(table)
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.table(f"{self.catalog}.{table}")
+
+    def delete_where_older(self, table: str, cutoff: str,
+                           partition_col: str = "bucket_date"):
+        self.spark.sql(
+            f"DELETE FROM {self.catalog}.{table} WHERE {partition_col} < DATE '{cutoff}'"
+        )
+        return self.current_snapshot(table)
+
+    def current_snapshot(self, table: str):
+        row = (
+            self.spark.table(f"{self.catalog}.{table}.snapshots")
+            .orderBy("committed_at", ascending=False)
+            .first()
+        )
+        return row.asDict() if row else None
+
+    def input_watermark(self, table: str) -> str | None:
+        snap = self.current_snapshot(table)
+        return (snap or {}).get("summary", {}).get("input_watermark")
+
+    def manifest_df(self, table: str) -> DataFrame:
+        return self.spark.table(f"{self.catalog}.{table}.files")
