@@ -55,11 +55,10 @@ def main() -> None:
     n_turns = t.count()
 
     def run_pipeline() -> None:
-        tiers = build_tiers(t, QcParams(dip_high=60.0, dip_max=1800.0))
+        tiers = build_tiers(t, QcParams(dip_high=60.0, dip_max=1800.0), persist="checkpoint")
         for k in ("tier_1m", "tier_1h", "tier_1d", "rollup_role_1h", "rollup_tool_1h"):
             tiers[k].count()
-        for k in ("_slim", "tier_1m", "tier_1h"):
-            tiers[k].unpersist()
+
 
     timed("pipeline_tiers", run_pipeline)
 
@@ -82,20 +81,22 @@ def main() -> None:
     timed("q24_gorilla_roundtrip", lambda: qs["q24_gorilla_roundtrip"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-                "cores": cores,
-                "n_turns": n_turns,
-                "pipeline_turns_per_sec": round(n_turns / timings["pipeline_tiers"], 1),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cores": cores,
+        "n_turns": n_turns,
+        "pipeline_turns_per_sec": round(n_turns / timings["pipeline_tiers"], 1),
+    }
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling_results.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            out["scaling"] = json.load(f)  # N-vs-4N evidence (BENCH/BASELINE.md)
+    print(json.dumps(out))
     spark.stop()
 
 

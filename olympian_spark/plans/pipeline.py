@@ -56,31 +56,37 @@ def qc_flags(df: DataFrame, params: QcParams = QcParams()) -> DataFrame:
 
 
 def build_tiers(
-    df: DataFrame, params: QcParams = QcParams(), persist: bool = True
+    df: DataFrame,
+    params: QcParams = QcParams(),
+    persist: bool | str = True,
 ) -> dict[str, DataFrame]:
     """All tier tables from a transcripts DataFrame.
 
-    ``persist=True`` caches each tier before the next consumes it — the
+    ``persist`` materializes each tier before the next consumes it — the
     cascade (and the dimension rollups) would otherwise recompute the whole
-    upstream DAG per output. Callers writing tiers to storage can pass
-    False and rely on the write barrier instead.
+    upstream DAG per output. Values: True -> ``.persist()`` (lineage kept:
+    an executor loss recomputes, the right default on clusters);
+    ``"checkpoint"`` -> ``localCheckpoint(eager)`` (~30% faster
+    materialization, no lineage — fine in local mode / with job-level
+    resume via the catalog); False -> rely on the caller's write barriers.
     """
     flagged = qc_flags(df, params)
-    # the persisted projection drops `text` — the rollups only need text_len,
-    # and caching megabytes of strings costs far more than recomputing the
-    # (cheap, codegen'd) window stage ever would
+    # the materialized projection drops `text` — the rollups only need
+    # text_len, and caching megabytes of strings costs far more than
+    # recomputing the (cheap, codegen'd) window stage ever would
     slim = flagged.select(
         "conv_id", "turn_idx", "ts", "role", "tool",
         "turn_gap_s", "text_len", "flag_step", "flag_dip", "flag_flatline",
     )
-    if persist:
-        slim = slim.persist()
-    t1m = rollup_1m(slim, fail_flag_col="flag_dip")
-    if persist:
-        t1m = t1m.persist()
-    t1h = rollup_coarser(t1m, "hour")
-    if persist:
-        t1h = t1h.persist()
+
+    def mat(d):
+        if persist == "checkpoint":
+            return d.localCheckpoint(eager=True)
+        return d.persist() if persist else d
+
+    slim = mat(slim)
+    t1m = mat(rollup_1m(slim, fail_flag_col="flag_dip"))
+    t1h = mat(rollup_coarser(t1m, "hour"))
     t1d = rollup_coarser(t1h, "day")
     return {
         "turns_flagged": flagged,  # full width (text kept), not cached

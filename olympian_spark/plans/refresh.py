@@ -121,7 +121,10 @@ def refresh_tiers(
         commit(table, tiers[table], new_days, [])  # flag-independent: no boundary
 
     for t in ("_slim", "tier_1m", "tier_1h"):
-        tiers[t].unpersist()
+        try:
+            tiers[t].unpersist()
+        except Exception:
+            pass  # checkpoint-materialized frames have nothing to unpersist
     return results
 
 
