@@ -213,8 +213,8 @@ obs AS (
 )
 SELECT s.conv_id,
        count(*)                            AS n_slots,
-       sum(CASE WHEN o.n IS NULL THEN 1 ELSE 0 END) AS n_gap_slots,
-       coalesce(sum(o.n), 0)               AS n_obs
+       CAST(sum(CASE WHEN o.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_slots,
+       CAST(coalesce(sum(o.n), 0) AS BIGINT) AS n_obs
 FROM spine s LEFT JOIN obs o ON s.conv_id = o.conv_id AND s.slot = o.slot
 GROUP BY s.conv_id
 """
@@ -232,8 +232,8 @@ obs AS (
 )
 SELECT s.conv_id,
        count(*)                            AS n_slots,
-       sum(CASE WHEN o.n IS NULL THEN 1 ELSE 0 END) AS n_gap_slots,
-       coalesce(sum(o.n), 0)               AS n_obs
+       CAST(sum(CASE WHEN o.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_slots,
+       CAST(coalesce(sum(o.n), 0) AS BIGINT) AS n_obs
 FROM spine s LEFT JOIN obs o ON s.conv_id = o.conv_id AND s.slot = o.slot
 GROUP BY s.conv_id
 """
@@ -265,8 +265,8 @@ filled AS (
   FROM spine s LEFT JOIN obs o ON s.conv_id = o.conv_id AND s.slot = o.slot
 )
 SELECT conv_id, count(*) AS n_slots,
-       sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS n_filled,
-       sum(CAST(round(coalesce(v, 0) * 100) AS BIGINT)) AS locf_checksum_x100
+       CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(sum(CAST(round(coalesce(v, 0) * 100) AS BIGINT)) AS BIGINT) AS locf_checksum_x100
 FROM filled GROUP BY conv_id
 """
 _reg(
@@ -281,7 +281,7 @@ _reg(
 _ROLL1M = """
 SELECT conv_id, {EPOCH} AS bucket_s,
        count(*) AS n_turns,
-       sum(CAST(round(metric * 100) AS BIGINT)) AS sum_metric_x100,
+       CAST(sum(CAST(round(metric * 100) AS BIGINT)) AS BIGINT) AS sum_metric_x100,
        round({P95}, 6) AS p95_metric
 FROM ({T})
 GROUP BY conv_id, bucket_s
@@ -311,7 +311,7 @@ _reg(
     f"""
     SELECT conv_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s,
            count(*) AS n_turns,
-           sum(CAST(round(metric * 100) AS BIGINT)) AS sum_metric_x100
+           CAST(sum(CAST(round(metric * 100) AS BIGINT)) AS BIGINT) AS sum_metric_x100
     FROM ({_T_DUCK}) GROUP BY 1, 2
     """,
 )
@@ -332,7 +332,7 @@ _reg(
     f"""
     SELECT conv_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_s,
            count(*) AS n_turns,
-           sum(CAST(round(metric * 100) AS BIGINT)) AS sum_metric_x100
+           CAST(sum(CAST(round(metric * 100) AS BIGINT)) AS BIGINT) AS sum_metric_x100
     FROM ({_T_DUCK}) GROUP BY 1, 2
     """,
 )
@@ -341,7 +341,7 @@ _reg(
 _DIMROLL = """
 SELECT {EPOCH} AS bucket_s, {DIM} AS dim,
        count(*) AS n_turns,
-       sum(CAST(length(coalesce(text, '')) AS BIGINT)) AS sum_text_len
+       CAST(sum(CAST(length(coalesce(text, '')) AS BIGINT)) AS BIGINT) AS sum_text_len
 FROM ({T})
 GROUP BY bucket_s, dim
 """
@@ -368,7 +368,7 @@ WITH flagged AS (
 )
 SELECT conv_id, {EPOCH} AS bucket_s,
        count(*) AS n_turns,
-       sum(CASE WHEN flag_dip = 1 THEN 1 ELSE 0 END) AS n_qc_fail,
+       CAST(sum(CASE WHEN flag_dip = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_qc_fail,
        CAST(floor(avg(CASE WHEN flag_dip <> 1 THEN turn_gap_us END)) AS BIGINT)
          AS mean_gap_ok_us
 FROM flagged
@@ -409,7 +409,7 @@ _reg("q15_top_gaps", _TOPK.format(G=_G_SPARK), _TOPK.format(G=_G_DUCK))
 _SESS = """
 SELECT conv_id,
        count(DISTINCT session_id) AS n_sessions,
-       max(session_id) + 1 AS last_session_plus1
+       CAST(max(session_id) + 1 AS BIGINT) AS last_session_plus1
 FROM (
   SELECT conv_id,
          SUM(CASE WHEN turn_gap_s IS NULL OR turn_gap_s > 1800 THEN 1 ELSE 0 END)
@@ -445,7 +445,7 @@ GROUP BY n.n_name
 """
 _JOIN_DUCK = f"""
 SELECT n.n_name AS nation, count(*) AS n_turns,
-       sum(CAST(round(t.metric * 100) AS BIGINT)) AS sum_metric_x100
+       CAST(sum(CAST(round(t.metric * 100) AS BIGINT)) AS BIGINT) AS sum_metric_x100
 FROM ({_T_DUCK}) t
 JOIN customer c ON CAST(substr(t.conv_id, 2) AS BIGINT) = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -466,18 +466,18 @@ _reg(
     FROM partial GROUP BY conv_id
     """,
     f"SELECT conv_id, count(*) AS n_turns,"
-    f" sum(CAST(round(metric * 100) AS BIGINT)) AS sum_metric_x100"
+    f" CAST(sum(CAST(round(metric * 100) AS BIGINT)) AS BIGINT) AS sum_metric_x100"
     f" FROM ({_T_DUCK}) GROUP BY conv_id",
 )
 
 # 20. classic wide aggregation over lineitem (generic agg/sort coverage)
 _Q1 = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_x100,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_x100,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_x10k,
-       sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_x100,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_x100,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_x10k,
+       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_x100,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -498,10 +498,10 @@ _reg("q36_grouping_sets", _GSETS.format(T=_T_SPARK), _GSETS.format(T=_T_DUCK))
 # 37. pivot-style rollup: per-conversation role mix as conditional aggregates
 _PIVOT = """
 SELECT conv_id,
-       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
-       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
-       sum(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS n_system,
-       sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+       CAST(sum(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_system,
+       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool
 FROM ({T})
 GROUP BY conv_id
 """
@@ -609,9 +609,9 @@ _BPE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 _reg(
     "q27_token_stats",
     f"""SELECT doc_id,
-       CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
-            ELSE size(split(trim(coalesce(text, '')), '\\s+')) END AS ws_tokens,
-       regexp_count(coalesce(text, ''), '{_BPE}') AS bpe_tokens
+       CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+            ELSE size(split(trim(coalesce(text, '')), '\\s+')) END AS BIGINT) AS ws_tokens,
+       CAST(regexp_count(coalesce(text, ''), '{_BPE}') AS BIGINT) AS bpe_tokens
     FROM documents""",
     f"""SELECT doc_id,
        CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
@@ -622,7 +622,11 @@ _reg(
 
 # 28. quality scoring: alpha/punct/length/stopword components, floor(score*1e6)
 _Q_SPARK = """
-SELECT doc_id, n_chars, n_alpha, n_punct, n_stop,
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_alpha AS BIGINT) AS n_alpha,
+       CAST(n_punct AS BIGINT) AS n_punct,
+       CAST(n_stop AS BIGINT) AS n_stop,
        CAST(floor((n_alpha / s + (1.0 - n_punct / s)
                    + least(n_chars / 500.0, 1.0)
                    + least(n_stop / 20.0, 1.0)) / 4.0 * 1e6) AS BIGINT) AS quality_x1e6
@@ -661,7 +665,9 @@ _LANG_CASE = """CASE
   WHEN hf >= 1 THEN 'fr'
   ELSE 'unknown' END"""
 _LANG_SPARK = f"""
-SELECT doc_id, he AS hits_en, hs AS hits_es, hd AS hits_de, hf AS hits_fr,
+SELECT doc_id,
+       CAST(he AS BIGINT) AS hits_en, CAST(hs AS BIGINT) AS hits_es,
+       CAST(hd AS BIGINT) AS hits_de, CAST(hf AS BIGINT) AS hits_fr,
        {_LANG_CASE} AS lang_guess
 FROM (
   SELECT doc_id,
@@ -699,7 +705,7 @@ _COS_SPARK = """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS ARRAY<DOUBLE>) AS qv
            FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS cv FROM embeddings)
-SELECT query_id, vec_id, cos_sim, rank FROM (
+SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
   SELECT q.query_id, c.vec_id,
          round(aggregate(zip_with(c.cv, q.qv, (x, y) -> x * y), 0D, (a, v) -> a + v)
                / (sqrt(aggregate(zip_with(c.cv, c.cv, (x, y) -> x * y), 0D, (a, v) -> a + v))

@@ -13,7 +13,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("ENTRY_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
@@ -59,17 +59,48 @@ def sql_results(spark, duck):
     for name, sql in oracles.items():
         sdf = qs[name](spark, SF_DIR)
         scols = sdf.columns
+        stypes = {f.name.lower(): _canon_type(f.type) for f in sdf.toArrow().schema}
         srows = [tuple(r) for r in sdf.collect()]
         cur = duck.execute(sql)
         dcols = [d[0] for d in cur.description]
         drows = cur.fetchall()
-        results[name] = (scols, srows, dcols, drows)
+        dtypes = {
+            f.name.lower(): _canon_type(f.type)
+            for f in duck.execute(sql).fetch_arrow_table().schema
+        }
+        results[name] = (scols, srows, dcols, drows, stypes, dtypes)
     return results
+
+
+def _canon_type(t):
+    """Canonical Arrow type label: string/binary width variants collapse, all
+    else compares exactly. Catches e.g. DuckDB HUGEINT (decimal128(38,0))
+    vs Spark BIGINT (int64) — the round-1 driver hash-fail class."""
+    import pyarrow as pa
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    return str(t)
+
+
+def test_duck_oracle_types_match_spark(sql_results):
+    """The driver's value hash is type-sensitive: equal values in different
+    physical types (HUGEINT vs BIGINT) still hash-mismatch. Enforce
+    column-for-column Arrow type equality between the two engines."""
+    failures = []
+    for name, (_, _, _, _, stypes, dtypes) in sql_results.items():
+        for col, st in stypes.items():
+            dt = dtypes.get(col)
+            if dt != st:
+                failures.append(f"{name}.{col}: spark={st} duck={dt}")
+    assert not failures, "\n".join(failures)
 
 
 def test_all_sql_queries_match_duckdb(sql_results):
     failures = []
-    for name, (scols, srows, dcols, drows) in sql_results.items():
+    for name, (scols, srows, dcols, drows, _, _) in sql_results.items():
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
             failures.append(f"{name}: schema {scols} != {dcols}")
             continue
