@@ -97,10 +97,18 @@ def gap_fill(
         F.max(F.unix_micros(F.col(ts_col))).alias("_t1us"),
     )
     bounds = bounds.withColumn("_nslots", ((F.col("_t1us") - F.col("_t0us")) / p_us).cast("long") + 1)
-    # driver-side scale guard (cheap agg over one row per series)
-    too_big = bounds.filter(F.col("_nslots") > max_slots_per_series).limit(1).count()
-    if too_big:
-        raise ValueError(f"gap_fill: a series exceeds {max_slots_per_series} slots")
+    # scale guard folded into the plan: assert_true evaluates per bounds-row
+    # during the spine job itself (zero extra Spark jobs; the old driver-side
+    # .count() guard ran a full groupBy of the input before the real work).
+    # assert_true yields NULL when the predicate holds, so adding its
+    # coalesced cast keeps _nslots unchanged on the happy path.
+    guard = F.assert_true(
+        F.col("_nslots") <= max_slots_per_series,
+        F.lit(f"gap_fill: a series exceeds {max_slots_per_series} slots"),
+    )
+    bounds = bounds.withColumn(
+        "_nslots", F.col("_nslots") + F.coalesce(guard.cast("long"), F.lit(0))
+    )
 
     spine = bounds.select(
         series_col,

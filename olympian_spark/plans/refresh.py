@@ -64,16 +64,29 @@ def refresh_tiers(
     watermark: str,
     since_watermark: str | None = None,
     params: QcParams = QcParams(),
+    broadcast_conv_limit: int = 1_000_000,
 ) -> dict:
-    """One incremental refresh run. Returns {table: snapshot | 'skipped'}."""
+    """One incremental refresh run. Returns {table: snapshot | 'skipped'}.
+
+    The affected-conversation set is joined into every scoping/merge join.
+    Broadcasting it is only safe when it is small: a busy day at 10^12-turn
+    scale has millions of distinct conv_ids, and a forced broadcast OOMs.
+    The set is persisted (it is reused by up to 6 joins), counted once, and
+    broadcast only under ``broadcast_conv_limit``; above the limit the joins
+    fall back to shuffle semi/anti joins, which AQE may still convert.
+    """
     new_days = affected_days(transcripts, since_watermark)
     if not new_days:
         return {}
 
     convs = (
-        transcripts.filter(F.to_date("ts").isin(new_days)).select("conv_id").distinct()
+        transcripts.filter(F.to_date("ts").isin(new_days))
+        .select("conv_id")
+        .distinct()
+        .persist()
     )
-    scoped = transcripts.join(F.broadcast(convs), "conv_id", "left_semi")
+    convs_j = F.broadcast(convs) if convs.count() <= broadcast_conv_limit else convs
+    scoped = transcripts.join(convs_j, "conv_id", "left_semi")
 
     boundary_days: list[str] = []
     if since_watermark:
@@ -103,7 +116,7 @@ def refresh_tiers(
             keep = (
                 catalog.read(table)
                 .filter(F.col("bucket_date").cast("string").isin(merge_days))
-                .join(F.broadcast(convs), "conv_id", "left_anti")
+                .join(convs_j, "conv_id", "left_anti")
             )
             recomputed_bnd = out.filter(
                 F.col("bucket_date").cast("string").isin(merge_days)
@@ -125,6 +138,7 @@ def refresh_tiers(
             tiers[t].unpersist()
         except Exception:
             pass  # checkpoint-materialized frames have nothing to unpersist
+    convs.unpersist()
     return results
 
 

@@ -80,6 +80,8 @@ _GAP_STATE = StructType(
 
 
 def _gap_fn(key, pdf_iter, state: GroupState):
+    import numpy as np
+
     (conv_id,) = key
     last_ts, last_idx = state.get if state.exists else (None, None)
     outs = []
@@ -89,19 +91,26 @@ def _gap_fn(key, pdf_iter, state: GroupState):
             pdf["ts"].dt.tz_localize(None).astype("datetime64[us]").astype("int64")
             if pdf["ts"].dt.tz is not None
             else pdf["ts"].astype("datetime64[us]").astype("int64")
-        )
-        gaps = []
-        for t in ts_us:
-            gaps.append(None if last_ts is None else (t - last_ts) / 1e6)
-            last_ts = int(t)
-        last_idx = int(pdf["turn_idx"].iloc[-1])
+        ).to_numpy()
+        # vectorized lag: prepend the carried state value, diff once; a
+        # missing carry (first ever turn) yields NaN -> NULL gap
+        prev = np.empty_like(ts_us)
+        prev[1:] = ts_us[:-1]
+        prev[0] = last_ts if last_ts is not None else 0
+        gaps = (ts_us - prev).astype("float64") / 1e6
+        gaps_f32 = pd.array(gaps.astype("float32"), dtype="Float32")
+        if last_ts is None and len(gaps_f32):
+            gaps_f32[0] = pd.NA  # first-ever turn has no predecessor
+        if len(ts_us):
+            last_ts = int(ts_us[-1])
+            last_idx = int(pdf["turn_idx"].iloc[-1])
         outs.append(
             pd.DataFrame(
                 {
                     "conv_id": conv_id,
                     "turn_idx": pdf["turn_idx"].to_numpy(),
-                    "ts_us": ts_us.to_numpy() if hasattr(ts_us, "to_numpy") else ts_us,
-                    "turn_gap_s": pd.array(gaps, dtype="float32"),
+                    "ts_us": ts_us,
+                    "turn_gap_s": gaps_f32,
                 }
             )
         )

@@ -60,6 +60,28 @@ def test_incremental_refresh_equals_full(spark, tmp_path):
         assert a.equals(b), f"incremental != full for {table}"
 
 
+def test_incremental_refresh_shuffle_join_path(spark, tmp_path):
+    """broadcast_conv_limit=0 forces the scale-safe shuffle semi/anti joins
+    (the path taken when a day touches more conv_ids than is broadcastable);
+    result must be identical to the broadcast path."""
+    full, first, split = _split_by_day(spark, n_turns=6_000, n_convs=20)
+
+    cat_sh = ParquetManifestCatalog(spark, str(tmp_path / "sh"))
+    refresh_tiers(spark, cat_sh, first, watermark="wm1", params=PARAMS,
+                  broadcast_conv_limit=0)
+    refresh_tiers(
+        spark, cat_sh, full, watermark="wm2",
+        since_watermark=f"{split} 23:59:59.999999", params=PARAMS,
+        broadcast_conv_limit=0,
+    )
+
+    cat_bc = ParquetManifestCatalog(spark, str(tmp_path / "bc"))
+    refresh_tiers(spark, cat_bc, full, watermark="wm2", params=PARAMS)
+
+    for table in TIER_TABLES:
+        assert _table_state(cat_sh, table).equals(_table_state(cat_bc, table)), table
+
+
 def test_resume_after_partial_commit(spark, tmp_path):
     full, first, _ = _split_by_day(spark, n_turns=6_000, n_convs=20)
     cat = ParquetManifestCatalog(spark, str(tmp_path / "resume"))

@@ -98,5 +98,7 @@ def test_scale_guard(spark):
         ],
         "conv_id string, ts timestamp, value float",
     )
-    with pytest.raises(ValueError, match="slots"):
-        gap_fill(df, period_s=1, max_slots_per_series=1_000_000)
+    # the guard is folded into the plan (assert_true), so it surfaces at
+    # action time — no extra driver-side job on the happy path
+    with pytest.raises(Exception, match="slots"):
+        gap_fill(df, period_s=1, max_slots_per_series=1_000_000).count()

@@ -168,3 +168,22 @@ def test_multimodal_pipeline(spark):
     from olympian_spark.operators.multimodal import decode_image
     with _pytest.raises(NotImplementedError):
         decode_image(b"", {})
+
+
+def test_ngram_hot_shingle_cap(spark):
+    """A stop-shingle shared by every document must not explode the
+    shingle self-join: with the doc-frequency cap on (the default), pairs
+    related ONLY through the hot shingle disappear, while genuinely
+    duplicated docs are still found through their other shingles."""
+    hot = "call us now today"
+    rows = [(i, f"{hot} unique{i} filler{i} token{i} extra{i}") for i in range(40)]
+    # planted near-dup pair sharing all non-hot shingles
+    rows.append((1000, f"{hot} alpha beta gamma delta epsilon"))
+    rows.append((1001, f"{hot} alpha beta gamma delta epsilon"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_doc_freq=10).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1000, 1001) in found
+    # the 40 filler docs share nothing but capped-out hot shingles
+    assert all(p == (1000, 1001) for p in found)
