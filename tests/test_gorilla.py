@@ -76,3 +76,28 @@ def test_singleton_blocks_byte_identical():
     for i in range(500):
         ref = encode_block(ts[i : i + 1], [a[i : i + 1], b[i : i + 1]])
         assert vec[i] == ref, f"mismatch at {i}"
+
+
+def test_decode_throughput():
+    """The byte-aligned OG2 layout exists so decode is numpy-vectorized:
+    >=5M pts/s nominal (~10-25M measured). Assert a 3M floor so the test
+    doesn't flake during this VM's CPU-steal episodes while still failing
+    hard if anyone reintroduces a per-point decode loop (~0.3M pts/s)."""
+    import time
+
+    rng = np.random.default_rng(1)
+    n = 1_000_000
+    ts = 1_700_000_000_000_000 + np.cumsum(
+        rng.integers(0, 3_000_000, n).astype(np.int64)
+    )
+    g = rng.normal(60, 5, n).astype(np.float32)
+    g[::7] = np.nan
+    tl = rng.integers(0, 500, n).astype(np.float32)
+    buf = encode_block(ts, [g, tl])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        decode_block(buf)
+        best = min(best, time.perf_counter() - t0)
+    rate = n / best
+    assert rate >= 3_000_000, f"decode too slow: {rate/1e6:.2f}M pts/s"

@@ -15,7 +15,15 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path):
     This is the storage-layout lever for repeated conv-keyed joins at
     100 TB (bucketBy on conv_id at ingest)."""
     # warehouse dir is a static conf; the default ./spark-warehouse is
-    # git-ignored and cleaned by the DROP TABLEs below
+    # git-ignored and cleaned by the DROP TABLEs below. A crashed prior run
+    # can leave orphan table dirs with no metastore entry, which fails
+    # saveAsTable with LOCATION_ALREADY_EXISTS — clear them first.
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bt_a", "bt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     df = spark.createDataFrame(
         [(i % 97, i) for i in range(5000)], "k long, v long"
     )
