@@ -800,6 +800,73 @@ def q_tier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiers["tier_1h"].drop("block")
 
 
+def q_tier_pipeline_checkable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline's SQL-decomposable columns, so the driver gets
+    a full rows+schema+hash check on the engine path (the f32 measure
+    columns sum_gap/mean_gap/p95_gap stay engine-native, bit-matched by the
+    pytest oracle suite; the full output is exercised by entry())."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    full = q_tier_pipeline(spark, sf_dir)
+    return full.select(
+        "conv_id",
+        F.unix_seconds(F.col("bucket_start").cast("timestamp")).alias("bucket_s"),
+        "n_turns",
+        "n_qc_fail",
+        "n_gap_obs",
+        "n_valid_gap",
+        "sum_text_len",
+    )
+
+
+# DuckDB oracle for q23's decomposable columns. The engine computes QC in
+# f32 (qc_series.py dip_flag); DuckDB REAL arithmetic is also genuine f32
+# (verified: REAL-REAL stays FLOAT and matches numpy float32 bitwise), so
+# the dip CASE below mirrors the engine's float expression tree exactly:
+# gap cast to REAL first, a/b/diffsum/diffdiff composed in REAL, thresholds
+# as REAL literals. QcParams here: dip_high=60, dip_max=1800, FAIL=1
+# excluded from measures (tier kernel `ok` mask, rollup.py _tier_table).
+_Q23_DUCK = f"""
+WITH g AS (
+  SELECT conv_id, turn_idx, ts,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS text_len,
+         CAST((epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1e6 AS REAL) AS gap
+  FROM ({_T_DUCK})
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+d AS (
+  SELECT conv_id, ts, gap, text_len,
+         LAG(gap) OVER w AS d0, LEAD(gap) OVER w AS d2
+  FROM g WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+f AS (
+  SELECT conv_id, ts, gap, text_len,
+    CASE
+      WHEN d0 IS NULL OR gap IS NULL OR d2 IS NULL THEN 5
+      WHEN ((d2 < gap AND d0 < gap) OR (d2 > gap AND d0 > gap))
+           AND abs(abs(d2 - gap) - abs(gap - d0))
+               < abs(abs(d2 - gap) + abs(gap - d0)) * CAST(0.35 AS REAL)
+      THEN CASE
+             WHEN abs(abs(d2 - gap) + abs(gap - d0)) > CAST(1800.0 AS REAL) THEN 1
+             WHEN abs(abs(d2 - gap) + abs(gap - d0)) > CAST(60.0 AS REAL) THEN 2
+             ELSE 0 END
+      ELSE 0 END AS flag_dip
+  FROM d
+)
+SELECT conv_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s,
+       count(*) AS n_turns,
+       CAST(sum(CASE WHEN flag_dip = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_qc_fail,
+       CAST(sum(CASE WHEN flag_dip <> 1 AND gap IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gap_obs,
+       CAST(sum(CASE WHEN flag_dip <> 1 AND gap IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valid_gap,
+       CAST(coalesce(sum(CASE WHEN flag_dip <> 1 THEN text_len END), 0) AS BIGINT)
+         AS sum_text_len
+FROM f GROUP BY conv_id, bucket_s
+"""
+
+
 def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode + decode every conversation's turn stream; emits one row per
     conversation with match=true when the roundtrip is bit-exact."""
@@ -896,7 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out["q21_buddy_check_kernel"] = q_buddy_check
     out["q22_sct_kernel"] = q_sct
-    out["q23_tier_pipeline_1h"] = q_tier_pipeline
+    out["q23_tier_pipeline_1h"] = q_tier_pipeline_checkable
     out["q24_gorilla_roundtrip"] = q_gorilla_roundtrip
     out["q32_minhash_lsh_pairs"] = q_minhash_lsh
     out["q33_simhash_pairs"] = q_simhash
@@ -906,4 +973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: duck for name, (_, duck) in _SQL.items()}
+    out = {name: duck for name, (_, duck) in _SQL.items()}
+    # engine-path query with a hand-built f32-faithful oracle (not in _SQL
+    # because the Spark side is the engine pipeline, not a SQL string)
+    out["q23_tier_pipeline_1h"] = _Q23_DUCK
+    return out
