@@ -336,6 +336,173 @@ def rollup_coarser(tier: DataFrame, grain: str, chunk_grain: str | None = None) 
     )
 
 
+_HOUR_US = 3_600_000_000
+_DAY_US = 86_400_000_000
+
+
+def _coarse_tier_from_rows(
+    conv: str,
+    row_cb: np.ndarray,
+    ts_us: np.ndarray,
+    gaps: np.ndarray,
+    tl: np.ndarray,
+    ok: np.ndarray,
+    fine_cb: np.ndarray,
+    fine_sum_gap: np.ndarray,
+    fine_sum_tl: np.ndarray,
+) -> "pa.Table":
+    """Coarse tier rows computed from raw member rows + finer-tier partials,
+    bit-identical to ``rollup_coarser`` over the materialized finer tier:
+    sum_gap/mean_gap use the f64-accumulate-of-f32-partials decomposition
+    (NOT a direct f32 row sum), sum_text_len sums the finer integer
+    partials, while p95 / blocks / mean_text_len recompute from the rows —
+    exactly the arithmetic rollup_coarser performs on decoded blocks.
+
+    ``row_cb``: per-row coarse bucket (sorted, contiguous groups);
+    ``fine_cb``: per-finer-bucket coarse bucket (same grouping order).
+    """
+    n = row_cb.size
+    starts = np.concatenate(([0], np.flatnonzero(row_cb[1:] != row_cb[:-1]) + 1, [n]))
+    nb = starts.size - 1
+    counts = np.diff(starts).astype(np.int64)
+    csum_ok = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
+    n_ok_arr = csum_ok[starts[1:]] - csum_ok[starts[:-1]]
+    n_fail_arr = counts - n_ok_arr
+    bucket_out = row_cb[starts[:-1]]
+
+    fstarts = np.concatenate(
+        ([0], np.flatnonzero(fine_cb[1:] != fine_cb[:-1]) + 1, [fine_cb.size])
+    )
+    sum_gap64 = fine_sum_gap.astype(np.float64)
+    out_sum_tl = np.add.reduceat(fine_sum_tl, fstarts[:-1]).astype(np.int64)
+
+    out_sum_gap = np.full(nb, np.nan, F32)
+    out_mean_gap = np.full(nb, np.nan, F32)
+    out_p95 = np.full(nb, np.nan, F32)
+    out_gap_obs = np.zeros(nb, np.int64)
+    out_valid = np.zeros(nb, np.int64)
+    out_mean_tl = np.full(nb, np.nan, F32)
+    out_blocks = []
+    for k in range(nb):
+        lo, hi = starts[k], starts[k + 1]
+        m = ok[lo:hi]
+        g = gaps[lo:hi][m]
+        t_ = tl[lo:hi][m]
+        out_blocks.append(encode_block(ts_us[lo:hi][m], [g, t_]))
+        n_ok = t_.size
+        finite = np.isfinite(g)
+        nv = int(finite.sum())
+        out_gap_obs[k] = n_ok - nv
+        out_valid[k] = nv
+        if nv:
+            sg = F32(np.nansum(sum_gap64[fstarts[k] : fstarts[k + 1]]))
+            out_sum_gap[k] = sg
+            out_mean_gap[k] = F32(sg / F32(nv))
+            out_p95[k] = compute_quantile(0.95, g[finite])
+        if n_ok:
+            out_mean_tl[k] = F32(F32(np.sum(t_, dtype=F32)) / F32(n_ok))
+
+    return pa.table(
+        {
+            "conv_id": pa.array([conv] * nb, pa.string()),
+            "bucket_us": pa.array(bucket_out),
+            "n_turns": pa.array(counts),
+            "n_qc_fail": pa.array(n_fail_arr),
+            "n_gap_obs": pa.array(out_gap_obs),
+            "n_valid_gap": pa.array(out_valid),
+            "sum_gap": pa.array(out_sum_gap, from_pandas=True),
+            "mean_gap": pa.array(out_mean_gap, from_pandas=True),
+            "p95_gap": pa.array(out_p95, from_pandas=True),
+            "sum_text_len": pa.array(out_sum_tl),
+            "mean_text_len": pa.array(out_mean_tl, from_pandas=True),
+            "block": pa.array(out_blocks, pa.binary()),
+        }
+    )
+
+
+def rollup_tiers_fused(
+    df: DataFrame,
+    fail_flag_col: str | None = "flag_dip",
+    chunk_grain: str = "week",
+) -> DataFrame:
+    """All three tiers (1m/1h/1d) in ONE shuffle + ONE kernel pass.
+
+    The cascade (rollup_1m -> rollup_coarser x2) costs three shuffles and
+    two materialization barriers; but a (conv, week) chunk already contains
+    every row of each of its hours and days, so one kernel can emit all
+    three grains. Output is the tier schema plus a ``_grain`` tag
+    (0=minute, 1=hour, 2=day); rows are bit-identical to the cascade's
+    (tested), because the coarse levels reuse the finer level's f32
+    partial sums exactly as rollup_coarser does.
+
+    At cluster scale this turns tier refresh from 3 wide stages into 1,
+    and removes two rounds of (persist + read-back) of the finest tier.
+    """
+    ts = F.col("ts").cast("timestamp")
+    fail = (
+        (F.col(fail_flag_col) == int(Flag.FAIL)).cast("int")
+        if fail_flag_col
+        else F.lit(0)
+    )
+    base = df.select(
+        "conv_id",
+        F.unix_micros(F.date_trunc("minute", ts)).alias("bucket_us"),
+        F.unix_micros(F.date_trunc(_GRAIN[chunk_grain], ts)).alias("_chunk"),
+        F.col("turn_idx"),
+        F.unix_micros(ts).alias("_ts_us"),
+        F.col("turn_gap_s"),
+        F.col("text_len"),
+        fail.alias("_is_fail"),
+    )
+
+    def kernel(tbl: "pa.Table") -> "pa.Table":
+        conv = tbl.column("conv_id")[0].as_py()
+        order = np.argsort(_npcol(tbl, "turn_idx"), kind="stable")
+        buckets = _npcol(tbl, "bucket_us").astype(np.int64, copy=False)[order]
+        ts_us = _npcol(tbl, "_ts_us").astype(np.int64, copy=False)[order]
+        gaps = _f32col(tbl, "turn_gap_s")[order]
+        tl = _f32col(tbl, "text_len")[order]
+        ok = (_npcol(tbl, "_is_fail") != 1)[order]
+        n = buckets.size
+        starts_m = np.concatenate(
+            ([0], np.flatnonzero(buckets[1:] != buckets[:-1]) + 1, [n])
+        )
+        t_m = _tier_table(conv, buckets, starts_m, ts_us, gaps, tl, ok)
+
+        # hour from minute partials (UTC: fixed-µs truncation == date_trunc)
+        fine_b_m = buckets[starts_m[:-1]]
+        m_sum_gap = _f32col(t_m, "sum_gap")
+        m_sum_tl = _npcol(t_m, "sum_text_len").astype(np.int64, copy=False)
+        row_h = buckets - (buckets % _HOUR_US)
+        t_h = _coarse_tier_from_rows(
+            conv, row_h, ts_us, gaps, tl, ok,
+            fine_b_m - (fine_b_m % _HOUR_US), m_sum_gap, m_sum_tl,
+        )
+
+        # day from hour partials
+        fine_b_h = _npcol(t_h, "bucket_us").astype(np.int64, copy=False)
+        h_sum_gap = _f32col(t_h, "sum_gap")
+        h_sum_tl = _npcol(t_h, "sum_text_len").astype(np.int64, copy=False)
+        row_d = row_h - (row_h % _DAY_US)
+        t_d = _coarse_tier_from_rows(
+            conv, row_d, ts_us, gaps, tl, ok,
+            fine_b_h - (fine_b_h % _DAY_US), h_sum_gap, h_sum_tl,
+        )
+
+        def tag(t: "pa.Table", g: int) -> "pa.Table":
+            return t.append_column(
+                "_grain", pa.array(np.full(t.num_rows, g, np.int8), pa.int8())
+            )
+
+        return pa.concat_tables([tag(t_m, 0), tag(t_h, 1), tag(t_d, 2)])
+
+    return _restore_bucket(
+        _kernel_input(base, "conv_id", "_chunk")
+        .groupBy("conv_id", "_chunk")
+        .applyInArrow(kernel, _TIER_SCHEMA_US + ", _grain tinyint")
+    )
+
+
 def rollup_by_dimension(
     df: DataFrame, dim_col: str, grain: str = "hour"
 ) -> DataFrame:

@@ -27,6 +27,7 @@ from olympian_spark.operators.rollup import (
     rollup_1m,
     rollup_by_dimension,
     rollup_coarser,
+    rollup_tiers_fused,
 )
 from olympian_spark.sources.transcripts import with_turn_metrics
 
@@ -59,6 +60,7 @@ def build_tiers(
     df: DataFrame,
     params: QcParams = QcParams(),
     persist: bool | str = True,
+    fused: bool = True,
 ) -> dict[str, DataFrame]:
     """All tier tables from a transcripts DataFrame.
 
@@ -69,6 +71,13 @@ def build_tiers(
     ``"checkpoint"`` -> ``localCheckpoint(eager)`` (~30% faster
     materialization, no lineage — fine in local mode / with job-level
     resume via the catalog); False -> rely on the caller's write barriers.
+
+    ``fused`` (default): compute all three tiers in ONE shuffle + kernel
+    pass (rollup_tiers_fused) and split the tagged result — bit-identical
+    to the cascade (tested) with two fewer wide stages and two fewer
+    materialization barriers. ``fused=False`` keeps the explicit
+    1m -> 1h -> 1d cascade (the partial+final decomposition path, still
+    what incremental per-tier refresh of ONLY a coarse tier would use).
     """
     flagged = qc_flags(df, params)
     # the materialized projection drops `text` — the rollups only need
@@ -85,12 +94,19 @@ def build_tiers(
         return d.persist() if persist else d
 
     slim = mat(slim)
-    t1m = mat(rollup_1m(slim, fail_flag_col="flag_dip"))
-    t1h = mat(rollup_coarser(t1m, "hour"))
-    t1d = rollup_coarser(t1h, "day")
+    if fused:
+        tagged = mat(rollup_tiers_fused(slim, fail_flag_col="flag_dip"))
+        t1m = tagged.filter("_grain = 0").drop("_grain")
+        t1h = tagged.filter("_grain = 1").drop("_grain")
+        t1d = tagged.filter("_grain = 2").drop("_grain")
+    else:
+        t1m = mat(rollup_1m(slim, fail_flag_col="flag_dip"))
+        t1h = mat(rollup_coarser(t1m, "hour"))
+        t1d = rollup_coarser(t1h, "day")
     return {
         "turns_flagged": flagged,  # full width (text kept), not cached
         "_slim": slim,
+        **({"_tagged": tagged} if fused else {}),
         "tier_1m": t1m,
         "tier_1h": t1h,
         "tier_1d": t1d,

@@ -133,9 +133,11 @@ def refresh_tiers(
     for table in DIM_TABLES:
         commit(table, tiers[table], new_days, [])  # flag-independent: no boundary
 
-    for t in ("_slim", "tier_1m", "tier_1h"):
+    for t in ("_slim", "_tagged", "tier_1m", "tier_1h"):
         try:
             tiers[t].unpersist()
+        except KeyError:
+            pass  # cascade path has no _tagged frame
         except Exception:
             pass  # checkpoint-materialized frames have nothing to unpersist
     convs.unpersist()

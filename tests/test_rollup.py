@@ -179,3 +179,53 @@ def test_salted_agg_equivalence(spark):
     )
     assert (plain["n"] == salted["n"]).all()
     assert np.allclose(plain["s"], salted["s"], rtol=1e-12)
+
+
+def test_fused_tiers_bit_identical_to_cascade(spark):
+    """rollup_tiers_fused must reproduce the explicit 1m->1h->1d cascade
+    bit-for-bit on every column including f32 measures and block bytes:
+    the fused kernel reuses the finer tier's f32 partial sums exactly as
+    rollup_coarser does (f64 accumulate of f32 partials)."""
+    from olympian_spark.operators.rollup import (
+        rollup_1m,
+        rollup_coarser,
+        rollup_tiers_fused,
+    )
+    from olympian_spark.plans.pipeline import qc_flags
+
+    df = spark.createDataFrame(gen_transcripts(30_000, 60, seed=11).to_pandas())
+    flagged = qc_flags(df, QcParams(dip_high=300.0, dip_max=1200.0))
+    slim = flagged.select(
+        "conv_id", "turn_idx", "ts", "turn_gap_s", "text_len", "flag_dip"
+    )
+
+    tagged = rollup_tiers_fused(slim).persist()
+    t1m_c = rollup_1m(slim).persist()
+    cascade = {
+        0: t1m_c,
+        1: rollup_coarser(t1m_c, "hour").persist(),
+    }
+    cascade[2] = rollup_coarser(cascade[1], "day")
+
+    import numpy as np
+
+    for g, casc in cascade.items():
+        a = (
+            tagged.filter(f"_grain = {g}").drop("_grain")
+            .orderBy("conv_id", "bucket_start").toPandas()
+        )
+        b = casc.orderBy("conv_id", "bucket_start").toPandas()
+        assert len(a) == len(b) and len(a) > 0, f"grain {g}: row count"
+        for col in a.columns:
+            av, bv = a[col].to_numpy(), b[col].to_numpy()
+            if av.dtype == np.float32:
+                assert (av.view(np.uint32) == bv.view(np.uint32)).all(), (
+                    f"grain {g} col {col} not bit-equal"
+                )
+            else:
+                assert (
+                    (a[col].isna() & b[col].isna()) | (a[col] == b[col])
+                ).all(), f"grain {g} col {col} mismatch"
+    tagged.unpersist()
+    t1m_c.unpersist()
+    cascade[1].unpersist()
