@@ -1,12 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing is real and tested — schema, partition-friendly
-batch iteration (mapInArrow), UDF signatures, batch shaping — while the
-actual media decode is STUBBED (``decode_image``/``decode_audio`` raise
-NotImplementedError; this container ships no codec libraries). A
-deterministic fake feature extractor stands in so the distributed dataflow
-(decode -> feature-extract -> resize/frame-sample schedule) can be executed
-and property-tested end to end.
+Container-less formats decode for real, in pure numpy — PPM (P6) and
+uncompressed 24-bit BMP images, 16-bit PCM WAV audio — feeding genuine
+pixel/sample feature extraction. Codec formats (png/h264/flac) would need
+external libraries this container doesn't ship: ``decode_image`` /
+``decode_audio`` raise NotImplementedError for those, and the pipeline
+falls back to a deterministic keyed-hash feature so the distributed
+dataflow still executes end to end for every row.
 
 Schema convention:
 
@@ -16,10 +16,13 @@ Schema convention:
 
 Feature extraction runs as Arrow-batched ``mapInArrow`` (one pass per
 partition, no per-row Python call overhead), emitting fixed-length float32
-feature vectors — the shape a downstream embedding table expects.
+feature vectors — the shape a downstream embedding table expects. Decode
+is per-payload by nature; the pixel/sample math inside is vectorized.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -34,14 +37,194 @@ MEDIA_SCHEMA = (
 FEATURE_DIM = 16
 
 
+# ---------------------------------------------------------------------------
+# container-less codecs, pure numpy
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """P6 binary PPM from an (h, w, 3) uint8 array."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 from binary P6 PPM (whitespace/comment tolerant)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while not payload[end : end + 1].isspace():
+            end += 1
+        fields.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    return np.frombuffer(payload, np.uint8, h * w * 3, pos).reshape(h, w, 3)
+
+
+def encode_bmp24(img: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP (rows bottom-up, BGR, 4-byte padded)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    row = w * 3
+    pad = (-row) % 4
+    body = np.zeros((h, row + pad), np.uint8)
+    body[:, :row] = img[::-1, :, ::-1].reshape(h, row)  # bottom-up, BGR
+    data = body.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + data
+
+
+def decode_bmp24(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB from an uncompressed 24-bit BMP."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    flipped = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, stride * h, data_off).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if flipped else img
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """RIFF/WAVE, one channel, 16-bit PCM, from float32 samples in [-1, 1]."""
+    # symmetric with decode (pcm / 32768): round, then clip the +1.0 edge
+    pcm = np.clip(np.round(samples.astype(np.float64) * 32768.0), -32768, 32767)
+    pcm = pcm.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """(float32 mono samples in [-1, 1], sample_rate) from PCM-16 WAV;
+    walks RIFF chunks, averages channels to mono."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, channels, data = 12, None, 1, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM WAV supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    pcm = np.frombuffer(data, "<i2")
+    if channels > 1:
+        pcm = pcm[: (pcm.size // channels) * channels].reshape(-1, channels)
+        return (pcm.astype(np.float32).mean(axis=1) / 32768.0), rate
+    return pcm.astype(np.float32) / np.float32(32768.0), rate
+
+
+def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-average (block-mean) resize of an (h, w, 3) uint8 image —
+    the standard downscale for feature extraction. Non-divisible shapes
+    crop the trailing remainder rows/cols (deterministic)."""
+    h, w = img.shape[:2]
+    bh, bw = max(h // out_h, 1), max(w // out_w, 1)
+    crop = img[: bh * min(out_h, h), : bw * min(out_w, w)]
+    ch, cw = crop.shape[0] // bh, crop.shape[1] // bw
+    blocks = crop.reshape(ch, bh, cw, bw, -1).mean(axis=(1, 3))
+    out = np.zeros((out_h, out_w, img.shape[2]), np.float32)
+    out[:ch, :cw] = blocks
+    return out.astype(np.uint8)
+
+
 def decode_image(payload: bytes, meta: dict) -> "np.ndarray":
-    """Real decode requires an image codec (PIL/opencv) — not in this
-    container. The dataflow uses :func:`_fake_features` instead."""
-    raise NotImplementedError("image decode needs PIL/opencv; stubbed in sandbox")
+    """(h, w, 3) uint8. Real pure-numpy decode for container-less formats
+    (ppm, bmp); codec formats need PIL/opencv, absent in this container."""
+    codec = (meta or {}).get("codec")
+    if codec == "ppm" or payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if codec == "bmp" or payload[:2] == b"BM":
+        return decode_bmp24(payload)
+    raise NotImplementedError(f"image codec {codec!r} needs PIL/opencv")
 
 
-def decode_audio(payload: bytes, meta: dict) -> "np.ndarray":
-    raise NotImplementedError("audio decode needs soundfile/ffmpeg; stubbed in sandbox")
+def decode_audio(payload: bytes, meta: dict) -> tuple["np.ndarray", int]:
+    """(float32 mono samples, rate). Real decode for PCM WAV; compressed
+    codecs need soundfile/ffmpeg, absent in this container."""
+    codec = (meta or {}).get("codec")
+    if codec == "wav" or payload[:4] == b"RIFF":
+        return decode_wav_pcm16(payload)
+    raise NotImplementedError(f"audio codec {codec!r} needs soundfile/ffmpeg")
+
+
+def image_features(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """16 deterministic floats in [0, 1) from decoded pixels: per-channel
+    mean/std, 2x2 grayscale quadrant means, gradient energy, shape, and a
+    4-bucket grayscale histogram."""
+    f = np.zeros(dim, np.float32)
+    x = img.astype(np.float32)
+    gray = x.mean(axis=2)
+    h, w = gray.shape
+    f[0:3] = x.reshape(-1, 3).mean(axis=0) / 256.0
+    f[3:6] = np.minimum(x.reshape(-1, 3).std(axis=0) / 128.0, 0.999)
+    q = resize_area(img, 2, 2).astype(np.float32).mean(axis=2)
+    f[6:10] = q.reshape(-1) / 256.0
+    if w > 1:
+        f[10] = min(np.abs(np.diff(gray, axis=1)).mean() / 256.0, 0.999)
+    if h > 1:
+        f[11] = min(np.abs(np.diff(gray, axis=0)).mean() / 256.0, 0.999)
+    f[12] = w / (w + h)
+    f[13] = min(np.log1p(h * w) / 20.0, 0.999)
+    hist, _ = np.histogram(gray, bins=[0, 85, 170, 256])
+    f[14] = hist[0] / gray.size
+    f[15] = hist[2] / gray.size
+    return np.minimum(f, np.float32(1.0 - 1e-6))
+
+
+def audio_features(samples: np.ndarray, rate: int, dim: int = FEATURE_DIM) -> np.ndarray:
+    """16 deterministic floats in [0, 1) from decoded samples: rms, peak,
+    zero-crossing rate, 8 normalized FFT band energies, duration, rate."""
+    f = np.zeros(dim, np.float32)
+    s = samples.astype(np.float32)
+    if s.size == 0:
+        return f
+    f[0] = min(float(np.sqrt(np.mean(s * s))), 0.999)
+    f[1] = min(float(np.abs(s).max()), 0.999)
+    f[2] = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1]))) if s.size > 1 else 0.0
+    spec = np.abs(np.fft.rfft(s[: 1 << 14]))
+    bands = np.array_split(spec, 8)
+    e = np.array([float((b * b).sum()) for b in bands], np.float64)
+    tot = e.sum()
+    if tot > 0:
+        f[3:11] = np.minimum(e / tot, 0.999).astype(np.float32)
+    f[11] = min(s.size / rate / 600.0, 0.999)  # duration, 10 min scale
+    f[12] = min(rate / 96_000.0, 0.999)
+    f[13] = min(float(s.mean()) * 0.5 + 0.5, 0.999)
+    f[14] = min(float(s.std()), 0.999)
+    dc = np.abs(s) > 0.5
+    f[15] = float(dc.mean())
+    return np.maximum(np.minimum(f, np.float32(1.0 - 1e-6)), np.float32(0.0))
 
 
 def _fake_features(payloads: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -61,26 +244,48 @@ def _fake_features(payloads: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def gen_fake_media(spark: SparkSession, n: int = 200, seed: int = 5) -> DataFrame:
-    """Deterministic synthetic media table (opaque byte payloads)."""
+    """Deterministic synthetic media table. Images are REAL PPM/BMP payloads
+    (gradient + seeded noise pixels), audio is REAL PCM-16 WAV (two sines +
+    noise) — both decode through the pure-numpy codecs above. Videos stay
+    opaque h264 bytes: that codec genuinely needs ffmpeg, exercising the
+    fallback path."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8)
-        rows.append(
-            (
-                i,
-                kind,
-                bytes(payload.tobytes()),
-                (
-                    int(rng.integers(16, 4096)) if kind == "image" else None,
-                    int(rng.integers(16, 2160)) if kind == "image" else None,
-                    int(rng.integers(100, 600000)) if kind != "image" else None,
-                    {"image": "png", "audio": "flac", "video": "h264"}[kind],
-                ),
+        if kind == "image":
+            h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [
+                    (xx * 255 // max(w - 1, 1)),
+                    (yy * 255 // max(h - 1, 1)),
+                    rng.integers(0, 256, (h, w)),
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            codec = "ppm" if i % 2 == 0 else "bmp"
+            payload = encode_ppm(img) if codec == "ppm" else encode_bmp24(img)
+            meta = (w, h, None, codec)
+        elif kind == "audio":
+            rate = 8_000
+            dur = float(rng.uniform(0.05, 0.4))
+            t = np.arange(int(rate * dur)) / rate
+            f1, f2 = float(rng.uniform(100, 900)), float(rng.uniform(1000, 3500))
+            s = (
+                0.5 * np.sin(2 * np.pi * f1 * t)
+                + 0.2 * np.sin(2 * np.pi * f2 * t)
+                + 0.05 * rng.standard_normal(t.size)
+            ).astype(np.float32)
+            payload = encode_wav_pcm16(s, rate)
+            meta = (None, None, int(dur * 1000), "wav")
+        else:
+            payload = bytes(
+                rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8)
             )
-        )
+            meta = (None, None, int(rng.integers(100, 600000)), "h264")
+        rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -95,20 +300,34 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     def op(batches):
         for batch in batches:
             ids = batch.column("media_id")
-            kinds = batch.column("kind")
+            kinds = batch.column("kind").to_pylist()
             payloads = batch.column("payload").to_pylist()
-            feats = _fake_features(payloads, dim)
+            codecs = batch.column("codec").to_pylist()
+            feats = np.empty((len(payloads), dim), np.float32)
+            for i, (kind, p, codec) in enumerate(zip(kinds, payloads, codecs)):
+                meta = {"codec": codec}
+                try:
+                    if kind == "image":
+                        feats[i] = image_features(decode_image(bytes(p), meta), dim)
+                    elif kind == "audio":
+                        feats[i] = audio_features(*decode_audio(bytes(p), meta), dim)
+                    else:
+                        raise NotImplementedError(kind)
+                except NotImplementedError:
+                    # codec needs an external library: deterministic
+                    # keyed-hash fallback keeps the dataflow total
+                    feats[i] = _fake_features([p], dim)[0]
             yield pa.record_batch(
                 {
                     "media_id": ids,
-                    "kind": kinds,
+                    "kind": batch.column("kind"),
                     "feature": pa.array(list(feats), pa.list_(pa.float32())),
                 }
             )
 
-    return df.select("media_id", "kind", "payload").mapInArrow(
-        op, "media_id long, kind string, feature array<float>"
-    )
+    return df.select(
+        "media_id", "kind", "payload", F.col("meta.codec").alias("codec")
+    ).mapInArrow(op, "media_id long, kind string, feature array<float>")
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

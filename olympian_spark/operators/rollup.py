@@ -57,6 +57,15 @@ _TIER_SCHEMA = (
 _TIER_SCHEMA_US = _TIER_SCHEMA.replace("bucket_start timestamp", "bucket_us long")
 
 
+def _tier_schema_us(df: DataFrame) -> str:
+    """Kernel output schema, honouring the caller's conv key type: string
+    conv_id by default, or the input's integer type when conversation keys
+    were dictionary-encoded upstream (fixed-width keys shuffle and sort
+    cheaper than strings at 10^12-turn scale)."""
+    ktype = dict(df.dtypes)["conv_id"]
+    return _TIER_SCHEMA_US.replace("conv_id string", f"conv_id {ktype}")
+
+
 def _kernel_input(df: DataFrame, *keys: str) -> DataFrame:
     """Explicitly hash-partition a grouped-kernel input by its keys.
 
@@ -163,7 +172,9 @@ def _tier_table(conv, buckets, starts, ts_us, gaps, tl, ok) -> "pa.Table":
 
     return pa.table(
         {
-            "conv_id": pa.array([conv] * nb, pa.string()),
+            # conv key passes through as-is: string conv_id, or int64 when
+            # the caller dictionary-encoded conversation keys upstream
+            "conv_id": pa.array([conv] * nb),
             "bucket_us": pa.array(bucket_out),
             "n_turns": pa.array(counts),
             "n_qc_fail": pa.array(n_fail_arr),
@@ -231,7 +242,7 @@ def rollup_1m(
     return _restore_bucket(
         _kernel_input(base, "conv_id", "_chunk")
         .groupBy("conv_id", "_chunk")
-        .applyInArrow(kernel, _TIER_SCHEMA_US)
+        .applyInArrow(kernel, _tier_schema_us(df))
     )
 
 
@@ -332,7 +343,7 @@ def rollup_coarser(tier: DataFrame, grain: str, chunk_grain: str | None = None) 
     return _restore_bucket(
         _kernel_input(base, "conv_id", "_chunk")
         .groupBy("conv_id", "_chunk")
-        .applyInArrow(kernel, _TIER_SCHEMA_US)
+        .applyInArrow(kernel, _tier_schema_us(tier))
     )
 
 
@@ -404,7 +415,7 @@ def _coarse_tier_from_rows(
 
     return pa.table(
         {
-            "conv_id": pa.array([conv] * nb, pa.string()),
+            "conv_id": pa.array([conv] * nb),
             "bucket_us": pa.array(bucket_out),
             "n_turns": pa.array(counts),
             "n_qc_fail": pa.array(n_fail_arr),
@@ -499,7 +510,7 @@ def rollup_tiers_fused(
     return _restore_bucket(
         _kernel_input(base, "conv_id", "_chunk")
         .groupBy("conv_id", "_chunk")
-        .applyInArrow(kernel, _TIER_SCHEMA_US + ", _grain tinyint")
+        .applyInArrow(kernel, _tier_schema_us(df) + ", _grain tinyint")
     )
 
 

@@ -1,0 +1,114 @@
+"""Pure-numpy media codecs (no Spark needed): PPM/BMP image and PCM-WAV
+audio roundtrips, decode dispatch, and feature-vector contracts."""
+
+import numpy as np
+import pytest
+
+from olympian_spark.operators.multimodal import (
+    FEATURE_DIM,
+    audio_features,
+    decode_audio,
+    decode_bmp24,
+    decode_image,
+    decode_ppm,
+    decode_wav_pcm16,
+    encode_bmp24,
+    encode_ppm,
+    encode_wav_pcm16,
+    image_features,
+    resize_area,
+)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (7, 5), (16, 16), (13, 31), (2, 3)])
+def test_ppm_roundtrip(h, w):
+    rng = np.random.default_rng(h * 100 + w)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+
+
+def test_ppm_comment_tolerant():
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    raw = encode_ppm(img)
+    commented = b"P6\n# a comment\n2 2\n255\n" + raw.split(b"255\n", 1)[1]
+    assert (decode_ppm(commented) == img).all()
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (7, 5), (16, 16), (13, 31), (3, 2)])
+def test_bmp_roundtrip(h, w):
+    """Widths not divisible by 4 exercise row padding."""
+    rng = np.random.default_rng(h * 100 + w + 7)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_bmp24(encode_bmp24(img)) == img).all()
+
+
+def test_wav_roundtrip_mono():
+    rng = np.random.default_rng(3)
+    s = rng.uniform(-0.9, 0.9, 5000).astype(np.float32)
+    out, rate = decode_wav_pcm16(encode_wav_pcm16(s, 22_050))
+    assert rate == 22_050
+    # 16-bit quantization: within 1/32767 of the original
+    assert np.abs(out - s).max() <= 1.0 / 32767 + 1e-7
+
+
+def test_wav_stereo_downmix():
+    # hand-build a 2-channel PCM WAV; decode must average to mono
+    import struct
+
+    left = np.array([16384, 0, -16384], dtype="<i2")
+    right = np.array([0, 16384, 16384], dtype="<i2")
+    pcm = np.empty(6, dtype="<i2")
+    pcm[0::2], pcm[1::2] = left, right
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + 12) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 12) + pcm.tobytes()
+    )
+    out, rate = decode_wav_pcm16(wav)
+    assert rate == 8000
+    expect = (left.astype(np.float32) + right) / 2.0 / 32768.0
+    assert np.allclose(out, expect)
+
+
+def test_decode_dispatch_and_fallback():
+    img = np.zeros((4, 4, 3), np.uint8)
+    # magic sniffing works without codec metadata
+    assert decode_image(encode_ppm(img), {}).shape == (4, 4, 3)
+    assert decode_image(encode_bmp24(img), {}).shape == (4, 4, 3)
+    s, r = decode_audio(encode_wav_pcm16(np.zeros(8, np.float32)), {})
+    assert r == 16_000 and s.shape == (8,)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG....", {"codec": "png"})
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"fLaC....", {"codec": "flac"})
+
+
+def test_resize_area_block_mean():
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[:2, :2] = 100
+    img[2:, 2:] = 200
+    out = resize_area(img, 2, 2)
+    assert out[0, 0, 0] == 100 and out[1, 1, 0] == 200
+    assert out[0, 1, 0] == 0 and out[1, 0, 0] == 0
+
+
+def test_feature_contracts():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    fi = image_features(img)
+    assert fi.shape == (FEATURE_DIM,) and fi.dtype == np.float32
+    assert ((fi >= 0) & (fi < 1)).all()
+    # real pixels drive the features: a brighter image moves channel means
+    fi2 = image_features(np.minimum(img.astype(np.int64) + 80, 255).astype(np.uint8))
+    assert fi2[0] > fi[0]
+
+    t = np.arange(4000) / 8000.0
+    s = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    fa = audio_features(s, 8000)
+    assert fa.shape == (FEATURE_DIM,) and ((fa >= 0) & (fa < 1)).all()
+    # rms of a 0.5-amplitude sine ~ 0.35; real samples drive it
+    assert abs(fa[0] - 0.3535) < 0.01
+    # energy concentrates in the band containing 440 Hz (band 0 of 8
+    # spanning 0-500 Hz at rate 8000)
+    assert fa[3] > 0.9
