@@ -80,12 +80,16 @@ def build_tiers(
     what incremental per-tier refresh of ONLY a coarse tier would use).
     """
     flagged = qc_flags(df, params)
-    # the materialized projection drops `text` — the rollups only need
-    # text_len, and caching megabytes of strings costs far more than
-    # recomputing the (cheap, codegen'd) window stage ever would
+    # the materialized projection carries ONLY what the tiers consume:
+    # no `text` (caching megabytes of strings costs more than recomputing
+    # the codegen'd window), and no flag_step/flag_flatline — tier measures
+    # filter on flag_dip alone, and column pruning then lets Catalyst drop
+    # the flatline check's second window (cumsum run-ids + a per-run count
+    # needs an extra sort pass over every turn). Consumers that want the
+    # full flag set read `turns_flagged`, which keeps all three lazily.
     slim = flagged.select(
         "conv_id", "turn_idx", "ts", "role", "tool",
-        "turn_gap_s", "text_len", "flag_step", "flag_dip", "flag_flatline",
+        "turn_gap_s", "text_len", "flag_dip",
     )
 
     def mat(d):
