@@ -39,7 +39,7 @@ wdf.groupBy("k").applyInPandas(lambda p: p.head(1), "k string, v long").count()
 t = spark.read.parquet(path)
 n = t.count()
 t0 = time.time()
-tiers = build_tiers(t, QcParams(dip_high=300.0, dip_max=1200.0), persist="checkpoint")
+tiers = build_tiers(t, QcParams(dip_high=300.0, dip_max=1200.0), persist=True)
 counts = {{k: tiers[k].count() for k in
           ("tier_1m", "tier_1h", "tier_1d", "rollup_role_1h", "rollup_tool_1h")}}
 wall = time.time() - t0

@@ -55,7 +55,10 @@ def main() -> None:
     n_turns = t.count()
 
     def run_pipeline() -> None:
-        tiers = build_tiers(t, QcParams(dip_high=60.0, dip_max=1800.0), persist="checkpoint")
+        # heap persist, not localCheckpoint: tmpfs checkpoint serialization
+        # burns 40-58% SYSTEM time at 32 threads (measured round 2) and
+        # capped the pipeline at ~130k turns/s vs ~204k with heap persist
+        tiers = build_tiers(t, QcParams(dip_high=60.0, dip_max=1800.0), persist=True)
         for k in ("tier_1m", "tier_1h", "tier_1d", "rollup_role_1h", "rollup_tool_1h"):
             tiers[k].count()
 

@@ -45,6 +45,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Spark 4.1 AQE coalesces post-shuffle stages purely by BYTES
+        # (parallelismFirst no longer overrides the advisory size), so a
+        # CPU-dense but byte-small shuffle gets starved of parallelism:
+        # measured, the 16M-row conv_id window exchange (~90MB compressed)
+        # coalesced to 8 partitions on a 32-core machine, capping every
+        # JVM stage after a shuffle at 8-way. Locally the advisory size is
+        # therefore scaled down (bytes/target >= 2x cores for the engine's
+        # window stages); on a real cluster shuffles are TBs and the 64MB
+        # default is right — override via SPARK_GRAFT_ADVISORY_MB or
+        # extra_conf there.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_MB", "2") + "m",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -229,3 +229,25 @@ def test_fused_tiers_bit_identical_to_cascade(spark):
     tagged.unpersist()
     t1m_c.unpersist()
     cascade[1].unpersist()
+
+
+def test_fused_dims_equal_per_dimension_rollups(spark):
+    """rollup_dims_fused slices must equal rollup_by_dimension exactly."""
+    from olympian_spark.operators.rollup import rollup_by_dimension, rollup_dims_fused
+    from olympian_spark.plans.pipeline import qc_flags
+
+    df = spark.createDataFrame(gen_transcripts(8_000, 30, seed=13).to_pandas())
+    slim = qc_flags(df, QcParams(dip_high=300.0, dip_max=1200.0)).select(
+        "conv_id", "ts", "role", "tool", "text_len"
+    )
+    dims = rollup_dims_fused(slim, ("role", "tool"), "hour").persist()
+    for d in ("role", "tool"):
+        a = (
+            dims.filter(f"dim_kind = '{d}'").drop("dim_kind")
+            .withColumnRenamed("dim_value", d)
+            .orderBy("bucket_start", d).toPandas()
+        )
+        b = rollup_by_dimension(slim, d, "hour").orderBy("bucket_start", d).toPandas()
+        assert list(a.columns) == list(b.columns)
+        assert a.equals(b), f"fused dims != per-dim rollup for {d}"
+    dims.unpersist()
