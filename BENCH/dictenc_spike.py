@@ -1,8 +1,8 @@
 """conv_id dictionary-encoding spike (round-2 backlog item).
 
 Measures the fused tier kernel stage with (a) string conv_id keys vs
-(b) int64 conversation keys, on the same input, same session. The testdata
-conv_id is 'c<int>', so the int key is derived exactly
+(b) int64 conversation keys, on the same input, same session. The datagen
+conv_id is 'conv_<int>', so the int key is derived exactly
 (substr cast) — this measures the upper bound of what ingest-time
 dictionary encoding buys the kernel shuffle/sort/Arrow path.
 
@@ -59,7 +59,7 @@ def main() -> None:
         "conv_id", "turn_idx", "ts", "turn_gap_s", "text_len", "flag_dip"
     ).localCheckpoint(eager=True)
     slim_int = slim_str.withColumn(
-        "conv_id", F.substring("conv_id", 2, 100).cast("long")
+        "conv_id", F.substring("conv_id", 6, 100).cast("long")
     ).localCheckpoint(eager=True)
 
     def run(slim):

@@ -94,11 +94,21 @@ def main() -> None:
         "n_turns": n_turns,
         "pipeline_turns_per_sec": round(n_turns / timings["pipeline_tiers"], 1),
     }
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "BENCH", "scaling_results.json")
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    scaling_path = os.path.join(bench_dir, "scaling_results.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             out["scaling"] = json.load(f)  # N-vs-4N evidence (BENCH/BASELINE.md)
+    # additional input sizes (scaling_results_16M.json etc.) ride along so
+    # one BENCH line carries the whole N-vs-4N evidence set
+    import glob as _glob
+
+    extra = sorted(_glob.glob(os.path.join(bench_dir, "scaling_results_*.json")))
+    if extra:
+        out["scaling_more"] = {}
+        for p in extra:
+            with open(p) as f:
+                out["scaling_more"][os.path.basename(p)[16:-5]] = json.load(f)
     print(json.dumps(out))
     spark.stop()
 
