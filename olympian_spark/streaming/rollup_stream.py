@@ -118,6 +118,63 @@ def _gap_fn(key, pdf_iter, state: GroupState):
     yield pd.concat(outs) if outs else pd.DataFrame(columns=_GAP_OUT.fieldNames())
 
 
+def stream_rollup_to_catalog(
+    rollup: DataFrame,
+    catalog,
+    table: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...] = ("conv_id", "bucket_start"),
+):
+    """Streaming sink into the manifest catalog: each micro-batch of
+    finalized buckets is MERGED into the table's day partitions via
+    ``foreachBatch`` — read the touched partitions, keep existing rows not
+    superseded by the batch (anti-join on ``keys``), dynamic-partition
+    overwrite, manifest commit.
+
+    Exactly-once effect: the sink is idempotent under epoch replay (a
+    re-delivered batch anti-joins away the rows it already wrote and
+    rewrites the same partitions), which together with the streaming
+    checkpoint gives end-to-end exactly-once for this sink — the standard
+    contract for a non-transactional ``foreachBatch`` target. Returns the
+    ``DataStreamWriter`` (caller picks the trigger and starts it).
+
+    At scale: each commit touches only the day partitions present in the
+    batch; with a watermark-finalized append stream those are the most
+    recent day(s), so commit cost is bound by the write-amplification of
+    one day partition, not table size.
+    """
+    from pyspark.sql import functions as F
+
+    from olympian_spark.sources.catalog import with_bucket_date
+
+    def commit(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = with_bucket_date(batch_df, "bucket_start")
+        days = [
+            str(r[0])
+            for r in out.select(F.col("bucket_date").cast("string")).distinct().collect()
+        ]
+        if catalog.current_snapshot(table) is None:  # first commit
+            merged = out
+        else:
+            existing = (
+                catalog.read(table)
+                .filter(F.col("bucket_date").cast("string").isin(days))
+                .join(out.select(*keys).distinct(), list(keys), "left_anti")
+            )
+            merged = out.unionByName(existing.select(*out.columns))
+        catalog.overwrite_partitions(
+            table, merged, input_watermark=f"epoch={epoch_id}"
+        )
+
+    return (
+        rollup.writeStream.foreachBatch(commit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
 def streaming_turn_gaps(stream: DataFrame) -> DataFrame:
     """Per-conversation turn gaps with persistent per-conv state.
 

@@ -88,3 +88,40 @@ def test_streaming_turn_gaps_match_batch_lag(spark, stream_dir, tmp_path):
     b = merged.turn_gap_s_s.to_numpy(np.float32)
     both_nan = np.isnan(a) & np.isnan(b)
     assert (both_nan | (a.view(np.uint32) == b.view(np.uint32))).all()
+
+
+def test_stream_rollup_to_catalog_sink(spark, stream_dir, tmp_path):
+    """Two availableNow passes (second re-processes nothing new but
+    exercises restart-from-checkpoint) must land exactly the batch answer
+    in the catalog, with manifest snapshots recorded per commit."""
+    from olympian_spark.sources.catalog import ParquetManifestCatalog
+    from olympian_spark.streaming.rollup_stream import stream_rollup_to_catalog
+
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "cat"))
+    stream = read_transcripts_stream(spark, stream_dir)
+    agg = streaming_rollup_1m(stream, watermark="0 seconds")
+    writer = stream_rollup_to_catalog(agg, cat, "stream_1m", str(tmp_path / "ck"))
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    # restart: checkpoint says everything is processed; no-op commit
+    q2 = stream_rollup_to_catalog(agg, cat, "stream_1m", str(tmp_path / "ck")) \
+        .trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+
+    got = cat.read("stream_1m").drop("bucket_date").toPandas()
+    batch = (
+        spark.read.parquet(stream_dir)
+        .groupBy(F.date_trunc("minute", "ts").alias("bucket_start"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"),
+             F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("sum_text_len"))
+        .toPandas()
+    )
+    merged = got.merge(batch, on=["conv_id", "bucket_start"], suffixes=("_s", "_b"))
+    # watermark-finalized buckets only; each must match batch exactly, no dupes
+    assert len(merged) == len(got) > 0
+    assert not got.duplicated(["conv_id", "bucket_start"]).any()
+    assert (merged.n_turns_s == merged.n_turns_b).all()
+    assert (merged.sum_text_len_s == merged.sum_text_len_b).all()
+    # manifest recorded the streaming commits with epoch watermarks
+    snaps = cat._load_manifest("stream_1m")["snapshots"]
+    assert snaps and all(s["input_watermark"].startswith("epoch=") for s in snaps)
