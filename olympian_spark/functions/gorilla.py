@@ -336,6 +336,16 @@ def encode_block(ts_us: np.ndarray, streams: list[np.ndarray]) -> bytes:
 
 def decode_block(buf: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
     if buf[:3] != MAGIC:
+        if buf[:3] == b"OG1":
+            # Format migration note: OG2 (byte-aligned class tags) replaced
+            # the bit-packed OG1 layout in round 2 with no read-back path.
+            # Catalogs written before that change hold OG1 blocks that this
+            # decoder cannot read — rebuild them (full refresh regenerates
+            # every block from turn history; see plans/refresh.py).
+            raise ValueError(
+                "OG1 block: catalog written by a pre-OG2 version; run a full "
+                "refresh to rebuild its tier tables before reading"
+            )
         raise ValueError("bad block magic")
     k, n = struct.unpack_from("<BI", buf, 3)
     off = 3 + 5

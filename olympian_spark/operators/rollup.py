@@ -325,7 +325,7 @@ def rollup_coarser(tier: DataFrame, grain: str, chunk_grain: str | None = None) 
 
         return pa.table(
             {
-                "conv_id": pa.array([conv] * nb, pa.string()),
+                "conv_id": pa.array([conv] * nb),
                 "bucket_us": pa.array(out_bucket),
                 "n_turns": pa.array(out_turns),
                 "n_qc_fail": pa.array(out_fail),

@@ -89,6 +89,30 @@ def with_lsh_bucket(
     return df.withColumn("lsh_bucket", bucket)
 
 
+def _cap_bucket_membership(
+    c: DataFrame, max_bucket_size: int | None, bucket_col: str = "lsh_bucket"
+) -> DataFrame:
+    """Bound each LSH bucket to ``max_bucket_size`` members.
+
+    2^n_planes buckets over a 10^9-vector corpus average ~250k members, so
+    any in-bucket join is quadratic on a hot bucket unless membership is
+    bounded. Keep a deterministic (seeded by xxhash64 of the id) size-capped
+    subset per bucket; the per-bucket sort is O(m log m) in one task, never
+    quadratic. Recall on over-cap buckets degrades gracefully and the cap is
+    a knob; pass None to disable (small corpora / tests).
+    """
+    if not max_bucket_size:
+        return c
+    w = Window.partitionBy(bucket_col).orderBy(
+        F.xxhash64(F.col("vec_id")), F.col("vec_id")
+    )
+    return (
+        c.withColumn("_br", F.row_number().over(w))
+        .filter(F.col("_br") <= max_bucket_size)
+        .drop("_br")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -98,14 +122,20 @@ def lsh_ann_topk(
     multiprobe_bits: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket or any
     bucket within ``multiprobe_bits`` bit-flips; exact cosine rerank inside
-    the candidate set. Output schema matches :func:`cosine_topk`."""
+    the candidate set. Output schema matches :func:`cosine_topk`.
+
+    ``max_bucket_size`` bounds corpus-side bucket membership (see
+    :func:`_cap_bucket_membership`) so a hot bucket contributes at most that
+    many candidates per probing query instead of its full population."""
     c = with_lsh_bucket(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")),
         dim, n_planes, vec_col="cv",
     )
+    c = _cap_bucket_membership(c, max_bucket_size)
     q = with_lsh_bucket(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         dim, n_planes, vec_col="qv",
@@ -150,17 +180,44 @@ def embedding_near_dup_pairs(
     n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cos >= threshold) within LSH buckets."""
+    """Near-duplicate vector pairs (cos >= threshold) within LSH buckets.
+
+    The in-bucket self-join is quadratic in bucket size, so buckets larger
+    than ``max_bucket_size`` are salted into ``ceil(size / cap)`` sub-buckets
+    by a deterministic hash of the id and pairs are emitted within sub-buckets
+    only. That bounds every join group at cap^2 while still pairing each
+    member of an all-identical hot bucket with neighbours in its salt group —
+    sufficient to MARK every hot-bucket member as a duplicate (the dedup use
+    case), at the documented cost of not enumerating cross-salt pairs.
+    Buckets at or under the cap get salt 0 on both sides: behaviour there is
+    exactly the uncapped join. Pass None to disable.
+    """
     c = with_lsh_bucket(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
         dim, n_planes, vec_col="v",
     )
+    if max_bucket_size:
+        # <= 2^n_planes rows: broadcast back onto the corpus for free
+        freq = c.groupBy("lsh_bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        c = c.join(F.broadcast(freq), "lsh_bucket").withColumn(
+            "_salt",
+            F.when(F.col("_bn") <= max_bucket_size, F.lit(0)).otherwise(
+                F.pmod(
+                    F.xxhash64(F.col("vec_id")),
+                    F.ceil(F.col("_bn") / F.lit(max_bucket_size)).cast("long"),
+                )
+            ),
+        ).drop("_bn")
+    else:
+        c = c.withColumn("_salt", F.lit(0))
     a = c.alias("a")
     b = c.alias("b")
     pairs = a.join(
         b,
         (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+        & (F.col("a._salt") == F.col("b._salt"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
     cos = (

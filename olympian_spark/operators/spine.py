@@ -102,6 +102,11 @@ def gap_fill(
     # .count() guard ran a full groupBy of the input before the real work).
     # assert_true yields NULL when the predicate holds, so adding its
     # coalesced cast keeps _nslots unchanged on the happy path.
+    # INVARIANT: the guard lives ONLY because _nslots (which carries it) is
+    # consumed by the spine sequence() below. Any refactor that stops reading
+    # _nslots lets Catalyst column-prune the assert_true away and silently
+    # drops max_slots_per_series protection — tests/test_spine.py pins this
+    # with an over-limit series that must raise.
     guard = F.assert_true(
         F.col("_nslots") <= max_slots_per_series,
         F.lit(f"gap_fill: a series exceeds {max_slots_per_series} slots"),

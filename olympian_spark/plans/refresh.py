@@ -110,6 +110,18 @@ def refresh_tiers(
         if catalog.input_watermark(table) == watermark:
             results[table] = "skipped"  # already committed for this input
             return
+        # Retention interaction: a refresh recomputes from FULL turn history
+        # of the affected conversations, so without this guard a boundary day
+        # (or a full refresh) would silently resurrect partitions that
+        # apply_retention already expired. Expiry wins: days at/before the
+        # recorded cutoff are never re-written.
+        cutoff = catalog.retention_cutoff(table)
+        if cutoff:
+            days = [d for d in days if d >= cutoff]
+            merge_days = [d for d in merge_days if d >= cutoff]
+            if not days and not merge_days:
+                results[table] = "skipped"  # everything new is already expired
+                return
         out = with_bucket_date(recomputed, "bucket_start")
         parts = out.filter(F.col("bucket_date").cast("string").isin(days))
         if merge_days:

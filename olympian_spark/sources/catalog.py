@@ -176,6 +176,18 @@ class ParquetManifestCatalog:
             table, "retention_delete", dropped, cutoff=cutoff, partition_col=partition_col
         )
 
+    def retention_cutoff(self, table: str, partition_col: str = "bucket_date") -> str | None:
+        """Latest retention cutoff recorded for the table (max over all
+        ``retention_delete`` snapshots), or None if retention never ran.
+        Writers consult this to avoid re-creating expired partitions."""
+        cutoffs = [
+            s["cutoff"]
+            for s in self._load_manifest(table)["snapshots"]
+            if s["op"] == "retention_delete"
+            and s.get("partition_col", "bucket_date") == partition_col
+        ]
+        return max(cutoffs) if cutoffs else None
+
     def manifest_df(self, table: str) -> DataFrame:
         """The manifest as a DataFrame (MANIFEST_SCHEMA shape) for SQL over
         lineage/metrics."""

@@ -84,38 +84,42 @@ def _gap_fn(key, pdf_iter, state: GroupState):
 
     (conv_id,) = key
     last_ts, last_idx = state.get if state.exists else (None, None)
-    outs = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("turn_idx")
-        ts_us = (
-            pdf["ts"].dt.tz_localize(None).astype("datetime64[us]").astype("int64")
-            if pdf["ts"].dt.tz is not None
-            else pdf["ts"].astype("datetime64[us]").astype("int64")
-        ).to_numpy()
-        # vectorized lag: prepend the carried state value, diff once; a
-        # missing carry (first ever turn) yields NaN -> NULL gap
-        prev = np.empty_like(ts_us)
-        prev[1:] = ts_us[:-1]
-        prev[0] = last_ts if last_ts is not None else 0
-        gaps = (ts_us - prev).astype("float64") / 1e6
-        gaps_f32 = pd.array(gaps.astype("float32"), dtype="Float32")
-        if last_ts is None and len(gaps_f32):
-            gaps_f32[0] = pd.NA  # first-ever turn has no predecessor
-        if len(ts_us):
-            last_ts = int(ts_us[-1])
-            last_idx = int(pdf["turn_idx"].iloc[-1])
-        outs.append(
-            pd.DataFrame(
-                {
-                    "conv_id": conv_id,
-                    "turn_idx": pdf["turn_idx"].to_numpy(),
-                    "ts_us": ts_us,
-                    "turn_gap_s": gaps_f32,
-                }
-            )
-        )
-    state.update((last_ts, last_idx))
-    yield pd.concat(outs) if outs else pd.DataFrame(columns=_GAP_OUT.fieldNames())
+    # Arrow may split one key's rows across chunks in any order (small
+    # maxRecordsPerBatch splits mid-key), so carrying lag state chunk-to-chunk
+    # is only safe after concatenating the whole micro-batch for this key and
+    # sorting ONCE. State stays two longs; the concat is bounded by the
+    # micro-batch, not the stream.
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if not chunks:
+        if last_ts is not None:
+            state.update((last_ts, last_idx))
+        yield pd.DataFrame(columns=_GAP_OUT.fieldNames())
+        return
+    pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    pdf = pdf.sort_values("turn_idx")
+    ts_us = (
+        pdf["ts"].dt.tz_localize(None).astype("datetime64[us]").astype("int64")
+        if pdf["ts"].dt.tz is not None
+        else pdf["ts"].astype("datetime64[us]").astype("int64")
+    ).to_numpy()
+    # vectorized lag: prepend the carried state value, diff once; a
+    # missing carry (first ever turn) yields NaN -> NULL gap
+    prev = np.empty_like(ts_us)
+    prev[1:] = ts_us[:-1]
+    prev[0] = last_ts if last_ts is not None else 0
+    gaps = (ts_us - prev).astype("float64") / 1e6
+    gaps_f32 = pd.array(gaps.astype("float32"), dtype="Float32")
+    if last_ts is None:
+        gaps_f32[0] = pd.NA  # first-ever turn has no predecessor
+    state.update((int(ts_us[-1]), int(pdf["turn_idx"].iloc[-1])))
+    yield pd.DataFrame(
+        {
+            "conv_id": conv_id,
+            "turn_idx": pdf["turn_idx"].to_numpy(),
+            "ts_us": ts_us,
+            "turn_gap_s": gaps_f32,
+        }
+    )
 
 
 def stream_rollup_to_catalog(

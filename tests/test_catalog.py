@@ -149,3 +149,41 @@ def test_retention_and_manifest(spark, tmp_path):
     assert cat.input_watermark("t") == "wm1"
     snap = cat.current_snapshot("t")
     assert snap["op"] == "retention_delete" and snap["cutoff"] == "2024-01-05"
+
+
+def test_refresh_after_retention_does_not_resurrect(spark, tmp_path):
+    """Expiry wins over refresh: after apply_retention, an incremental
+    refresh (which recomputes from FULL turn history of affected
+    conversations — including boundary-day merges that reach back before
+    the cutoff) must not re-create expired partitions."""
+    full, first, split = _split_by_day(spark)
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "rr"))
+    refresh_tiers(spark, cat, first, watermark="wm1", params=PARAMS)
+
+    days = sorted(str(r[0]) for r in full.select(F.to_date("ts")).distinct().collect())
+    cutoff = days[1]  # expire the first day on every tier
+    apply_retention(cat, {t: cutoff for t in TIER_TABLES})
+    for t in TIER_TABLES:
+        assert cat.retention_cutoff(t) == cutoff
+        live = set(cat.committed_partitions(t))
+        assert all(d >= cutoff for d in live), f"{t}: expired day survived retention"
+
+    # second half arrives; conversations spanning the cutoff force
+    # boundary-day recomputation that reaches into the expired day
+    refresh_tiers(
+        spark, cat, full, watermark="wm2",
+        since_watermark=f"{split} 23:59:59.999999", params=PARAMS,
+    )
+    for t in TIER_TABLES:
+        live = set(cat.committed_partitions(t))
+        assert all(d >= cutoff for d in live), f"{t}: refresh resurrected expired day"
+        stored = {str(r[0]) for r in cat.read(t).select("bucket_date").distinct().collect()}
+        assert all(d >= cutoff for d in stored), f"{t}: expired rows on disk"
+    # and the post-cutoff data is all there: matches a full recompute >= cutoff
+    cat_full = ParquetManifestCatalog(spark, str(tmp_path / "rr_full"))
+    refresh_tiers(spark, cat_full, full, watermark="wm2", params=PARAMS)
+    for t in TIER_TABLES:
+        a = _table_state(cat, t)
+        b = _table_state(cat_full, t)
+        b = b[b.bucket_date.astype(str) >= cutoff].reset_index(drop=True)
+        assert a.equals(b), f"{t}: post-cutoff content diverged from full recompute"

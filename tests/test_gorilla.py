@@ -101,3 +101,49 @@ def test_decode_throughput():
         best = min(best, time.perf_counter() - t0)
     rate = n / best
     assert rate >= 3_000_000, f"decode too slow: {rate/1e6:.2f}M pts/s"
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_small_path_byte_identical_across_boundary(data):
+    """The small-block encoders (_encode_*_small, plain Python) must be
+    byte-identical to the vectorized general encoders for EVERY n — pinned
+    explicitly at the _SMALL_N boundary (n in {1, 2, 31, 32, 33}) so future
+    codec edits to either path fail here instead of silently diverging.
+    encode_block dispatches on n < _SMALL_N; this checks both paths on the
+    same input regardless of which one dispatch would pick."""
+    from olympian_spark.functions.gorilla import (
+        _SMALL_N,
+        _encode_floats,
+        _encode_floats_small,
+        _encode_ts,
+        _encode_ts_small,
+    )
+
+    assert _SMALL_N == 32  # boundary set below assumes this
+    n = data.draw(st.sampled_from([1, 2, 31, 32, 33]))
+    gaps = data.draw(
+        st.lists(st.integers(min_value=0, max_value=10**7), min_size=n, max_size=n)
+    )
+    vals = data.draw(
+        st.lists(
+            st.floats(width=32, allow_nan=True, allow_infinity=True),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    ts = 1_700_000_000_000_000 + np.cumsum(np.asarray(gaps, dtype=np.int64))
+    fl = np.asarray(vals, dtype=np.float32)
+    assert _encode_ts(ts) == _encode_ts_small(ts)
+    assert _encode_floats(fl) == _encode_floats_small(fl)
+    # and the dispatching public encoder still roundtrips at the boundary
+    _roundtrip(ts, [fl])
+
+
+def test_og1_blocks_rejected_with_rebuild_hint():
+    """Pre-OG2 catalogs hold OG1 blocks; decode must fail with the rebuild
+    guidance rather than a generic magic error."""
+    import pytest
+
+    with pytest.raises(ValueError, match="full refresh"):
+        decode_block(b"OG1" + b"\x01" + b"\x00" * 16)

@@ -251,3 +251,60 @@ def test_fused_dims_equal_per_dimension_rollups(spark):
         assert list(a.columns) == list(b.columns)
         assert a.equals(b), f"fused dims != per-dim rollup for {d}"
     dims.unpersist()
+
+
+def test_int64_key_cascade_matches_string_key(spark):
+    """rollup_coarser must honour int64 conv keys (the dictionary-encoded
+    path COVERAGE.md advertises): the explicit 1m->1h->1d cascade run with
+    int64 keys bit-matches the string-key cascade after key remap. Guards
+    the kernels' conv_id output arrays against a hard-coded string type —
+    round-2's rollup_coarser regression was exactly that."""
+    from olympian_spark.operators.rollup import rollup_1m, rollup_coarser
+    from olympian_spark.plans.pipeline import qc_flags
+
+    df = spark.createDataFrame(gen_transcripts(8_000, 24, seed=7).to_pandas())
+    flagged = qc_flags(df, PARAMS)
+    slim = flagged.select(
+        "conv_id", "turn_idx", "ts", "turn_gap_s", "text_len", "flag_dip"
+    ).persist()
+    # deterministic string -> int64 dictionary encoding
+    mapping = slim.select("conv_id").distinct().withColumn(
+        "conv_int", F.xxhash64("conv_id")
+    ).persist()
+    slim_int = (
+        slim.join(F.broadcast(mapping), "conv_id")
+        .drop("conv_id")
+        .withColumnRenamed("conv_int", "conv_id")
+    )
+
+    def cascade(src):
+        t1m = rollup_1m(src).persist()
+        t1h = rollup_coarser(t1m, "hour").persist()
+        t1d = rollup_coarser(t1h, "day")
+        return t1m, t1h, t1d
+
+    str_tiers = cascade(slim)
+    int_tiers = cascade(slim_int)
+    for grain, (ts_df, ti_df) in enumerate(zip(str_tiers, int_tiers)):
+        assert dict(ti_df.dtypes)["conv_id"] == "bigint", f"grain {grain} key type"
+        a = (
+            ts_df.join(F.broadcast(mapping), "conv_id")
+            .drop("conv_id")
+            .withColumnRenamed("conv_int", "conv_id")
+            .orderBy("conv_id", "bucket_start")
+            .toPandas()
+        )
+        b = ti_df.orderBy("conv_id", "bucket_start").toPandas()[a.columns]
+        assert len(a) == len(b) > 0, f"grain {grain}: rows"
+        for col in a.columns:
+            av, bv = a[col].to_numpy(), b[col].to_numpy()
+            if av.dtype == np.float32:
+                assert (av.view(np.uint32) == bv.view(np.uint32)).all(), (
+                    f"grain {grain} col {col} not bit-equal"
+                )
+            else:
+                assert (
+                    (a[col].isna() & b[col].isna()) | (a[col] == b[col])
+                ).all(), f"grain {grain} col {col} mismatch"
+    for d in (*str_tiers[:2], *int_tiers[:2], slim, mapping):
+        d.unpersist()

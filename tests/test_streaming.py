@@ -125,3 +125,46 @@ def test_stream_rollup_to_catalog_sink(spark, stream_dir, tmp_path):
     # manifest recorded the streaming commits with epoch watermarks
     snaps = cat._load_manifest("stream_1m")["snapshots"]
     assert snaps and all(s["input_watermark"].startswith("epoch=") for s in snaps)
+
+
+def test_streaming_turn_gaps_tiny_arrow_chunks(spark, stream_dir, tmp_path):
+    """One key's micro-batch rows split across MANY Arrow chunks (forced
+    with maxRecordsPerBatch=2) must still produce the batch lag answer:
+    _gap_fn concatenates and sorts the whole key before diffing instead of
+    carrying state chunk-to-chunk in iterator order."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = read_transcripts_stream(spark, stream_dir)
+        gaps = streaming_turn_gaps(stream)
+        q = (
+            gaps.writeStream.format("memory")
+            .queryName("sgaps_tiny")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_tiny"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = spark.sql("SELECT * FROM sgaps_tiny").toPandas()
+
+    from olympian_spark.sources.transcripts import with_turn_metrics
+
+    batch = (
+        with_turn_metrics(spark.read.parquet(stream_dir))
+        .select("conv_id", "turn_idx", "turn_gap_s")
+        .toPandas()
+    )
+    merged = batch.merge(got, on=["conv_id", "turn_idx"], suffixes=("_b", "_s"))
+    assert len(merged) == len(batch) == len(got)
+    import numpy as np
+
+    a = merged.turn_gap_s_b.to_numpy(np.float32)
+    b = merged.turn_gap_s_s.to_numpy(np.float32)
+    both_nan = np.isnan(a) & np.isnan(b)
+    assert (both_nan | (a.view(np.uint32) == b.view(np.uint32))).all()

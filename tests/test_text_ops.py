@@ -187,3 +187,53 @@ def test_ngram_hot_shingle_cap(spark):
     assert (1000, 1001) in found
     # the 40 filler docs share nothing but capped-out hot shingles
     assert all(p == (1000, 1001) for p in found)
+
+
+def test_embedding_near_dup_hot_bucket_bounded(spark):
+    """All-identical corpus = the LSH hot-bucket worst case (every vector in
+    ONE bucket; extra planes cannot split identical vectors). With
+    max_bucket_size the in-bucket self-join must stay bounded (cap^2 per
+    salt group, linear overall) while every member still gets marked as a
+    duplicate of something in its salt group."""
+    n = 300
+    v = [float(i % 7) + 1.0 for i in range(16)]
+    rows = [(i, v, "hot") for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+
+    pairs = embedding_near_dup_pairs(
+        df, dim=16, threshold=0.999, n_planes=6, max_bucket_size=50
+    ).toPandas()
+    # bounded: <= sum over salt groups of m_g^2/2 — far below n^2/2 = 44850
+    uncapped_pairs = n * (n - 1) / 2
+    assert 0 < len(pairs) < uncapped_pairs / 2
+    # every vector is still flagged as part of a duplicate group
+    touched = set(pairs.vec_a) | set(pairs.vec_b)
+    assert touched == set(range(n))
+    # under-cap buckets are exactly the uncapped join: planted dup still found
+    base = spark.read.parquet(f"{SF}/embeddings.parquet")
+    v0 = base.filter("vec_id = 0").collect()[0]
+    dup = [float(x) * 1.0001 for x in v0.embedding]
+    emb = base.unionByName(
+        spark.createDataFrame([(900001, dup, v0.label)], base.schema)
+    )
+    pairs2 = embedding_near_dup_pairs(
+        emb, dim=64, threshold=0.999, max_bucket_size=10_000
+    ).collect()
+    assert any({r.vec_a, r.vec_b} == {0, 900001} for r in pairs2)
+
+
+def test_lsh_ann_hot_bucket_candidates_capped(spark):
+    """lsh_ann_topk with max_bucket_size must bound per-bucket corpus
+    membership: an all-identical corpus (one hot bucket) still returns
+    top-k for each query, and the rerank set is the capped subset."""
+    n = 400
+    v = [1.0] * 16
+    rows = [(i, v, "hot") for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    qs = df.filter("vec_id < 3")
+    out = lsh_ann_topk(
+        df, qs, dim=16, k=5, n_planes=6, multiprobe_bits=0, max_bucket_size=20
+    ).toPandas()
+    # each query gets k results drawn from the <=20 capped members
+    assert (out.groupby("query_id").size() == 5).all()
+    assert out.vec_id.nunique() <= 20
