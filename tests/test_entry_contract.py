@@ -127,10 +127,12 @@ def test_entry_smoke(spark):
 
 
 def test_engine_native_queries_run(spark):
+    """q21/q22/q24 are oracle-checked via sql_results above; here assert the
+    engine-native semantics folded into their checkable columns."""
     qs = entrymod.queries()
     rt = qs["q24_gorilla_roundtrip"](spark, SF_DIR).collect()
-    assert rt and all(r.match for r in rt)
+    assert rt and all(r.n_points > 0 for r in rt)  # negative = roundtrip fail
     bc = qs["q21_buddy_check_kernel"](spark, SF_DIR).collect()
-    assert sum(r["count"] for r in bc) > 0
+    assert bc and all(r.flag_valid for r in bc)
     sc = qs["q22_sct_kernel"](spark, SF_DIR).collect()
-    assert sum(r["count"] for r in sc) > 0
+    assert sc and all(r.flag_valid for r in sc)
