@@ -1,15 +1,17 @@
 """End-to-end rollup pipeline (SURVEY §3.4).
 
 transcripts
-  -> stage 1 (shuffle on conv_id): stable turn ordering + derived metrics
-     (turn_gap_s, text_len) + step/dip/flatline QC flags — all in ONE window
-     stage: every window uses the same (conv_id | turn_idx) spec, so Catalyst
+  -> scan-side narrow projection (cached): text replaced by text_len;
+     role/tool kept here ONLY for the dimension rollups
+  -> stage 1 (shuffle on conv_id, moving just conv_id/turn_idx/ts/text_len):
+     turn_gap_s + step/dip/flatline QC flags — all in ONE window stage:
+     every window uses the same (conv_id | turn_idx) spec, so Catalyst
      plans a single Exchange + Sort and evaluates the flags in one pass
-  -> stage 2 (shuffle on (conv_id, 1m bucket)): tier-1m Arrow kernel —
-     f32 measures + exact p95 + Gorilla block
-  -> stage 3/4: 1h from 1m, 1d from 1h (partial+final decomposition; p95
-     from decoded blocks)
-  -> dimension rollups (role/tool) straight from stage 1 output.
+  -> stage 2 (shuffle on (conv_id, chunk)): fused tier Arrow kernel —
+     f32 measures + exact p95 + Gorilla block for 1m/1h/1d in one pass
+  -> dimension rollups (role/tool) from the PRE-window cache: they need no
+     window output, so the dimension strings never cross the stage-1
+     exchange; map-side partials make their own shuffles tiny.
 
 QC policy: dip_check FAIL excludes a turn from measures (spike = bad
 latency sample); step/flatline flags are carried for flag-distribution
@@ -21,6 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from olympian_spark.operators.qc_series import dip_flag, step_flag, with_flatline_flag
 from olympian_spark.operators.rollup import (
@@ -81,25 +84,37 @@ def build_tiers(
     what incremental per-tier refresh of ONLY a coarse tier would use).
     """
     flagged = qc_flags(df, params)
-    # the materialized projection carries ONLY what the tiers consume:
-    # no `text` (caching megabytes of strings costs more than recomputing
-    # the codegen'd window), and no flag_step/flag_flatline — tier measures
-    # filter on flag_dip alone, and column pruning then lets Catalyst drop
-    # the flatline check's second window (cumsum run-ids + a per-run count
-    # needs an extra sort pass over every turn). Consumers that want the
-    # full flag set read `turns_flagged`, which keeps all three lazily.
-    slim = flagged.select(
-        "conv_id", "turn_idx", "ts", "role", "tool",
-        "turn_gap_s", "text_len", "flag_dip",
-    )
 
     def mat(d):
         if persist == "checkpoint":
             return d.localCheckpoint(eager=True)
         return d.persist() if persist else d
 
-    slim = mat(slim)
+    # The materialized frame sits BELOW the stage-1 exchange and carries
+    # ONLY what downstream consumes: text replaced by its 4-byte length
+    # (caching megabytes of strings costs more than recomputing the
+    # codegen'd length — and the string must never cross the shuffle).
+    # role/tool live here for the dimension rollups, which need NO window
+    # output (ts + dim + text_len only) — feeding them scan-side means the
+    # dimension strings never cross the stage-1 exchange either: the
+    # exchange moves exactly (conv_id, turn_idx, ts, text_len) per row.
+    pre = mat(
+        df.select(
+            "conv_id", "turn_idx", "ts", "role", "tool",
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("float").alias("text_len"),
+        )
+    )
+    # QC flags over the narrow frame. No flag_step/flag_flatline in the
+    # projection — tier measures filter on flag_dip alone, and column
+    # pruning then lets Catalyst drop the flatline check's second window
+    # (cumsum run-ids + a per-run count needs an extra sort pass over every
+    # turn). Consumers that want the full flag set read `turns_flagged`,
+    # which keeps all three (and text) lazily over the original input.
+    slim = qc_flags(pre, params).select(
+        "conv_id", "turn_idx", "ts", "turn_gap_s", "text_len", "flag_dip"
+    )
     if fused:
+        # slim has a single consumer (the fused kernel) -> no cache for it
         tagged = mat(rollup_tiers_fused(slim, fail_flag_col="flag_dip"))
         t1m = tagged.filter("_grain = 0").drop("_grain")
         t1h = tagged.filter("_grain = 1").drop("_grain")
@@ -108,16 +123,17 @@ def build_tiers(
         t1m = mat(rollup_1m(slim, fail_flag_col="flag_dip"))
         t1h = mat(rollup_coarser(t1m, "hour"))
         t1d = rollup_coarser(t1h, "day")
-    # dimension rollups stay one-groupBy-per-dimension: slim is persisted,
-    # so the second scan is a cache read, and the fused explode alternative
-    # (rollup_dims_fused) doubles the partial-agg input stream — measured
-    # 3x slower at 16M turns/32 cores. Fusion only pays when the input is
-    # NOT materialized (e.g. straight off a parquet scan).
-    role_1h = rollup_by_dimension(slim, "role", "hour")
-    tool_1h = rollup_by_dimension(slim, "tool", "hour")
+    # dimension rollups stay one-groupBy-per-dimension over the pre-window
+    # cache: map-side partial aggregation collapses each task to
+    # (bucket x dim) partials, so their own shuffles are tiny; the fused
+    # explode alternative (rollup_dims_fused) doubles the partial-agg input
+    # stream — measured 3x slower at 16M turns/32 cores. Fusion only pays
+    # when the input is NOT materialized (straight off a parquet scan).
+    role_1h = rollup_by_dimension(pre, "role", "hour")
+    tool_1h = rollup_by_dimension(pre, "tool", "hour")
     return {
         "turns_flagged": flagged,  # full width (text kept), not cached
-        "_slim": slim,
+        "_slim": pre,
         **({"_tagged": tagged} if fused else {}),
         "tier_1m": t1m,
         "tier_1h": t1h,

@@ -62,9 +62,20 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement column used by value-based QC queries).
     """
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
+    # Partition the ordering window by conv_id itself, not user_id: the two
+    # are bijective ('c'||user_id) but Catalyst cannot prove it, and every
+    # downstream per-conversation window partitions by conv_id — keying this
+    # window the same way lets them all reuse ONE exchange (the events path
+    # previously paid a second full shuffle here). role/tool are derived
+    # POST-shuffle from event_type, so only the 5-char event_type crosses
+    # the wire, not two derived strings.
+    pre = ev.select(
         F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        "ts", "event_id", "event_type", "props", "value",
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    return pre.select(
+        "conv_id",
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.expr(_ROLE_CASE).alias("role"),
         F.col("props").alias("text"),
@@ -79,12 +90,22 @@ def with_turn_metrics(df: DataFrame) -> DataFrame:
 
     One window over (conv_id | turn_idx) — the engine's stage-1 shuffle; every
     downstream per-conversation operator reuses this partitioning.
+
+    text_len is computed BELOW the window (scan-side projection): consumers
+    that drop ``text`` afterwards (the tier pipeline) then shuffle a 4-byte
+    float instead of the document string — Catalyst prunes ``text`` from the
+    exchange. Inputs that already carry text_len / turn_gap_s (a narrow
+    pre-projection) are passed through untouched.
     """
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    # normalize TIMESTAMP_NTZ (parquet naive) and TIMESTAMP alike; session tz
-    # is UTC so the instant arithmetic is identical either way
-    t = F.col("ts").cast("timestamp")
-    gap = (F.unix_micros(t) - F.unix_micros(F.lag(t).over(w))).cast("double") / 1e6
-    return df.withColumn("turn_gap_s", gap.cast("float")).withColumn(
-        "text_len", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("float")
-    )
+    if "text_len" not in df.columns:
+        df = df.withColumn(
+            "text_len", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("float")
+        )
+    if "turn_gap_s" not in df.columns:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        # normalize TIMESTAMP_NTZ (parquet naive) and TIMESTAMP alike; session
+        # tz is UTC so the instant arithmetic is identical either way
+        t = F.col("ts").cast("timestamp")
+        gap = (F.unix_micros(t) - F.unix_micros(F.lag(t).over(w))).cast("double") / 1e6
+        df = df.withColumn("turn_gap_s", gap.cast("float"))
+    return df
