@@ -8,9 +8,11 @@ no faithful ANSI-SQL expression, so their driver entries fold the engine
 result into SQL-checkable columns instead: q21/q22 emit the spatial
 kernels' keyspace plus a flag-domain boolean, q24 negates n_points on a
 codec roundtrip mismatch, q34 folds the ANN recall-vs-exact bound into a
-boolean — each with a DuckDB oracle asserting the invariant, while the
-pytest suite owns bit-exactness (SURVEY.md §5). Only q32/q33 (hash-seeded
-dedup candidates) and q35 (multimodal features) remain rows-only.
+boolean, q32/q33 report recovery / band-consistency booleans over the
+exact-Jaccard pair keyspace, q35 folds an encode->decode roundtrip against
+generation-time ground truth into decode_ok — each with a DuckDB oracle
+asserting the invariant, while the pytest suite owns bit-exactness
+(SURVEY.md §5). Every queries() entry now carries an oracle.
 
 Cross-engine determinism rules used throughout:
 - timestamps exported as epoch BIGINT (UTC session <-> DuckDB naive);
@@ -956,20 +958,64 @@ FROM ({_T_DUCK}) GROUP BY conv_id
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs with exact-Jaccard verification (engine
-    hash functions are not ANSI-SQL-reproducible -> rows-only check; the
-    pytest suite proves candidate pairs match brute-force Jaccard)."""
-    from olympian_spark.operators.dedup import minhash_lsh_pairs
+    """MinHash+LSH near-dup recovery, driver-checkable (the q24 trick): the
+    keyspace is the EXACT shingle-Jaccard pair set (integer counts, SQL-
+    reproducible — q26's proven machinery at threshold 0.7) and ``lsh_found``
+    records whether the banded MinHash path recovered each true pair. The
+    seeded permutations are deterministic, so on this data recall is exactly
+    1 and the oracle asserts TRUE; pytest owns the recall property and the
+    candidate==brute-force equivalence."""
+    from olympian_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, threshold=0.7).orderBy("doc_a", "doc_b")
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.7)
+    lsh = minhash_lsh_pairs(docs, n=3, k=32, bands=16, threshold=0.7)
+    return exact.join(
+        lsh.select("doc_a", "doc_b", F.lit(True).alias("_f")), ["doc_a", "doc_b"], "left"
+    ).select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b",
+        F.coalesce(F.col("_f"), F.lit(False)).alias("lsh_found"),
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from olympian_spark.operators.dedup import simhash_pairs
+    """SimHash banding, driver-checkable: over the exact near-dup keyspace,
+    ``band_consistent`` asserts the 16-bit-band pigeonhole operator agrees
+    with a direct per-pair signature hamming — (pair in banded output) ==
+    (hamming <= 3), which the pigeonhole construction guarantees
+    deterministically. The oracle asserts TRUE on every true pair; pytest
+    owns the full banded-output bit-exactness."""
+    from olympian_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+        simhash_signatures,
+    )
+    from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.7)
+    sig = simhash_signatures(docs)
+    banded = simhash_pairs(docs, max_hamming=3)
+    direct = (
+        exact.join(
+            sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_sb")),
+            "doc_b",
+        )
+        .withColumn("_hd", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+    )
+    return direct.join(
+        banded.select("doc_a", "doc_b", F.lit(True).alias("_in")), ["doc_a", "doc_b"], "left"
+    ).select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b",
+        (F.coalesce(F.col("_in"), F.lit(False)) == (F.col("_hd") <= F.lit(3))).alias(
+            "band_consistent"
+        ),
+    )
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1012,16 +1058,54 @@ FROM embeddings WHERE vec_id < 5
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from olympian_spark.operators.multimodal import extract_features, gen_fake_media
-
-    media = gen_fake_media(spark, n=120)
-    feats = extract_features(media)
+    """Multimodal decode + features, driver-checkable: ``decode_ok`` is a
+    genuine encode->decode roundtrip against generation-time ground truth
+    (exact pixel / quantized-sample sums recorded BEFORE encoding), and
+    ``feature_ok`` asserts the extracted vector is finite and FEATURE_DIM
+    wide. Keyspace (media_id, kind) is a closed form of media_id, so the
+    DuckDB oracle reproduces it from range(120) and asserts both booleans."""
+    from olympian_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_verify,
+        extract_features,
+        gen_fake_media,
+    )
     from pyspark.sql import functions as F
 
-    return feats.select(
-        "media_id", "kind", F.round(F.aggregate("feature", F.lit(0.0),
-                                                lambda a, v: a + v), 6).alias("feat_sum")
+    media = gen_fake_media(spark, n=120, with_truth=True)
+    ver = decode_verify(media)
+    feats = extract_features(media).select(
+        "media_id",
+        (
+            (F.size("feature") == FEATURE_DIM)
+            & ~F.exists("feature", lambda v: F.isnan(v) | v.isNull())
+        ).alias("feature_ok"),
     )
+    return ver.join(feats, "media_id").select(
+        "media_id", "kind", "decode_ok", "feature_ok"
+    )
+
+
+_MULTIMODAL_DUCK = """
+SELECT CAST(r.range AS BIGINT) AS media_id,
+       CASE CAST(r.range % 3 AS INT)
+         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       TRUE AS decode_ok, TRUE AS feature_ok
+FROM range(120) r
+"""
+
+_MINHASH_DUCK = _SHJ_DUCK.replace(
+    "WHERE c.n_common >= 0.8", "WHERE c.n_common >= 0.7"
+).replace(
+    "sb.n_sh AS n_b\nFROM common c", "sb.n_sh AS n_b, TRUE AS lsh_found\nFROM common c"
+)
+
+_SIMHASH_DUCK = _SHJ_DUCK.replace(
+    "WHERE c.n_common >= 0.8", "WHERE c.n_common >= 0.7"
+).replace(
+    "sb.n_sh AS n_b\nFROM common c",
+    "sb.n_sh AS n_b, TRUE AS band_consistent\nFROM common c",
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1058,4 +1142,10 @@ def oracle_sql() -> dict[str, str]:
     out["q24_gorilla_roundtrip"] = _GORILLA_DUCK
     # q34 — ANN recall-vs-exact bound folded into a boolean (q24 trick)
     out["q34_ann_lsh_topk"] = _ANN_DUCK
+    # q32/q33 — exact-Jaccard keyspace (q26's machinery at 0.7) + recovery /
+    # band-consistency booleans; q35 — closed-form keyspace + roundtrip and
+    # feature booleans
+    out["q32_minhash_lsh_pairs"] = _MINHASH_DUCK
+    out["q33_simhash_pairs"] = _SIMHASH_DUCK
+    out["q35_multimodal_features"] = _MULTIMODAL_DUCK
     return out

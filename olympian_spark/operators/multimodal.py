@@ -243,17 +243,31 @@ def _fake_features(payloads: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     return out
 
 
-def gen_fake_media(spark: SparkSession, n: int = 200, seed: int = 5) -> DataFrame:
+TRUTH_SCHEMA = (
+    " truth struct<content_sum:long, w:int, h:int, n_samples:int,"
+    " payload_len:int>"
+)
+
+
+def gen_fake_media(
+    spark: SparkSession, n: int = 200, seed: int = 5, with_truth: bool = False
+) -> DataFrame:
     """Deterministic synthetic media table. Images are REAL PPM/BMP payloads
     (gradient + seeded noise pixels), audio is REAL PCM-16 WAV (two sines +
     noise) — both decode through the pure-numpy codecs above. Videos stay
     opaque h264 bytes: that codec genuinely needs ffmpeg, exercising the
-    fallback path."""
+    fallback path.
+
+    ``with_truth`` adds a ``truth`` struct recorded from the PRE-encoding
+    arrays (pixel sum / quantized-sample sum / dimensions / payload bytes):
+    ground truth the generator knows independently of the decoders, so
+    ``decode_verify`` can assert a genuine encode->decode roundtrip."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
+        truth = None
         if kind == "image":
             h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             yy, xx = np.mgrid[0:h, 0:w]
@@ -268,6 +282,7 @@ def gen_fake_media(spark: SparkSession, n: int = 200, seed: int = 5) -> DataFram
             codec = "ppm" if i % 2 == 0 else "bmp"
             payload = encode_ppm(img) if codec == "ppm" else encode_bmp24(img)
             meta = (w, h, None, codec)
+            truth = (int(img.sum(dtype=np.int64)), w, h, None, len(payload))
         elif kind == "audio":
             rate = 8_000
             dur = float(rng.uniform(0.05, 0.4))
@@ -280,13 +295,20 @@ def gen_fake_media(spark: SparkSession, n: int = 200, seed: int = 5) -> DataFram
             ).astype(np.float32)
             payload = encode_wav_pcm16(s, rate)
             meta = (None, None, int(dur * 1000), "wav")
+            # quantize with the encoder's exact formula so the sum is ground
+            # truth for what a correct decoder must reproduce
+            pcm = np.clip(np.round(s.astype(np.float64) * 32768.0), -32768, 32767)
+            truth = (int(pcm.sum(dtype=np.int64)), None, None, int(s.size),
+                     len(payload))
         else:
             payload = bytes(
                 rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8)
             )
             meta = (None, None, int(rng.integers(100, 600000)), "h264")
-        rows.append((i, kind, payload, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+            truth = (None, None, None, None, len(payload))
+        rows.append((i, kind, payload, meta) + ((truth,) if with_truth else ()))
+    schema = MEDIA_SCHEMA + ("," + TRUTH_SCHEMA if with_truth else "")
+    return spark.createDataFrame(rows, schema)
 
 
 def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
@@ -328,6 +350,60 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return df.select(
         "media_id", "kind", "payload", F.col("meta.codec").alias("codec")
     ).mapInArrow(op, "media_id long, kind string, feature array<float>")
+
+
+def decode_verify(df: DataFrame) -> DataFrame:
+    """media (with ``truth``) -> (media_id, kind, decode_ok).
+
+    Runs the REAL decoders against generation-time ground truth: a decoded
+    image must reproduce the recorded (h, w) and exact pixel sum; decoded
+    audio the recorded sample count and exact quantized-sample sum (the
+    decoder's float32 samples times 32768 are exact int16 values, so the
+    comparison is integer-exact). Codec-library formats (h264/...) fall back
+    to a payload-length check — the decode itself is the stubbed step.
+    Narrow op (mapInArrow), zero shuffles, same batch shape as
+    ``extract_features``.
+    """
+
+    def op(batches):
+        for batch in batches:
+            kinds = batch.column("kind").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            codecs = batch.column("codec").to_pylist()
+            truths = batch.column("truth").to_pylist()
+            ok = np.zeros(len(payloads), np.bool_)
+            for i, (kind, p, codec, t) in enumerate(
+                zip(kinds, payloads, codecs, truths)
+            ):
+                try:
+                    if kind == "image":
+                        img = decode_image(bytes(p), {"codec": codec})
+                        ok[i] = (
+                            img.shape == (t["h"], t["w"], 3)
+                            and int(img.sum(dtype=np.int64)) == t["content_sum"]
+                        )
+                    elif kind == "audio":
+                        samples, _rate = decode_audio(bytes(p), {"codec": codec})
+                        pcm = np.round(samples.astype(np.float64) * 32768.0)
+                        ok[i] = (
+                            samples.size == t["n_samples"]
+                            and int(pcm.sum(dtype=np.float64)) == t["content_sum"]
+                        )
+                    else:
+                        raise NotImplementedError(kind)
+                except NotImplementedError:
+                    ok[i] = len(p) == t["payload_len"]
+            yield pa.record_batch(
+                {
+                    "media_id": batch.column("media_id"),
+                    "kind": batch.column("kind"),
+                    "decode_ok": pa.array(ok),
+                }
+            )
+
+    return df.select(
+        "media_id", "kind", "payload", F.col("meta.codec").alias("codec"), "truth"
+    ).mapInArrow(op, "media_id long, kind string, decode_ok boolean")
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
