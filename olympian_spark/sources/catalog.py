@@ -1,31 +1,43 @@
-"""Storage catalog: Iceberg-shaped API with a partitioned-parquet fallback.
+"""Storage catalog: Iceberg-shaped API with a copy-on-write parquet fallback.
 
 The production target is Iceberg (`df.writeTo(t).overwritePartitions()`,
 `DELETE WHERE`, snapshot/time-travel, per-snapshot manifests). This sandbox
-ships no Iceberg runtime jar, so :class:`ParquetManifestCatalog` provides
-the same contract on plain parquet:
+ships no Iceberg runtime jar, so :class:`ParquetManifestCatalog` implements
+the same table-format semantics from scratch on plain parquet, following
+the published lakehouse copy-on-write design (immutable data files + an
+atomically-swapped metadata pointer):
 
-- **tables** at ``root/<name>/data/<part_col>=<value>/*.parquet``
-- **snapshots**: every commit appends a snapshot record to
-  ``root/<name>/_manifest.json`` with per-partition lineage + metrics
-  (rows, bytes, wall_s, input_watermark) — the resume/lineage contract of
-  the north rule
-- **overwrite_partitions**: dynamic partition overwrite — only partitions
-  present in the incoming DataFrame are replaced (Iceberg
-  ``overwritePartitions`` semantics), making refreshes idempotent and
-  therefore resumable: a crashed job reruns and converges to the same state
-- **retention**: ``delete_where_older`` drops whole partitions by predicate
-  (Iceberg ``DELETE WHERE bucket_date < cutoff`` maps to partition drops —
-  metadata-only, no rewrite)
+- **layout**: every commit writes its partitions into a FRESH snapshot
+  directory ``root/<name>/data/s<id>/<part_col>=<value>/*.parquet`` —
+  data files are immutable once written, never modified in place
+- **commit point**: an atomic manifest swap (`os.replace`) appends the
+  snapshot record to ``root/<name>/_manifest.json`` with per-partition
+  lineage + metrics (rows, bytes, wall_s, input_watermark). A crash before
+  the swap leaves an orphan directory invisible to every reader (healed by
+  the idempotent rerun, reclaimed by ``expire_snapshots``) — true snapshot
+  isolation, not best-effort
+- **overwrite_partitions**: only partitions present in the incoming
+  DataFrame advance to the new snapshot; all others keep pointing at their
+  prior snapshot's files (Iceberg ``overwritePartitions`` semantics).
+  Because the write never touches existing files, read-modify-write
+  refreshes need no defensive materialization
+- **time travel**: ``read(table, as_of=snapshot_id)`` reconstructs any
+  historical state by folding the manifest up to that snapshot;
+  ``rollback`` appends a snapshot that restores a prior state (the old
+  snapshots remain readable — Iceberg rollback semantics)
+- **retention**: ``delete_where_older`` is metadata-only (partitions drop
+  out of the live set; files stay until vacuumed) — the Iceberg
+  ``DELETE WHERE`` partition-predicate fast path
+- **vacuum**: ``expire_snapshots`` physically reclaims files no reachable
+  snapshot references (Iceberg ``expireSnapshots`` + orphan-file removal)
 - **incremental refresh**: callers compute only changed partitions (from
   the input watermark recorded in the last snapshot) and overwrite those.
 
-Consistency note (fallback only): parquet has no atomic multi-partition
-commit; the manifest append is the commit point — readers that follow the
-manifest's committed partition list get snapshot-consistent views, and a
-crash between data write and manifest append is healed by the idempotent
-rerun. Real Iceberg replaces this with true snapshot isolation; the API is
-shaped so the swap is a config flip.
+Single-writer-per-table is assumed (as with Iceberg's optimistic locking,
+concurrent writers need a coordinating catalog service; at 100 TB that is
+the metastore's job). Readers are always consistent: they see whichever
+manifest version their fold started from. Real Iceberg remains a config
+flip via :class:`IcebergCatalog`.
 """
 
 from __future__ import annotations
@@ -80,21 +92,43 @@ class ParquetManifestCatalog:
         os.replace(tmp, self._manifest_path(table))  # atomic commit point
         return snap
 
+    def _snap_dir(self, table: str, snapshot_id: int) -> str:
+        return os.path.join(self._data_dir(table), f"s{snapshot_id}")
+
     def current_snapshot(self, table: str) -> dict | None:
         snaps = self._load_manifest(table)["snapshots"]
         return snaps[-1] if snaps else None
 
-    def committed_partitions(self, table: str) -> dict:
-        """Live partition -> lineage record, folding all snapshots."""
+    @staticmethod
+    def _fold(snaps: list, as_of: int | None = None) -> dict:
+        """Partition -> lineage record at snapshot ``as_of`` (None = head).
+
+        ``rollback`` records restore the state at their target snapshot;
+        ``expire_snapshots`` is physical-only and does not change state.
+        """
         live: dict = {}
-        for snap in self._load_manifest(table)["snapshots"]:
-            if snap["op"] == "retention_delete":
+        for snap in snaps:
+            if as_of is not None and snap["snapshot_id"] > as_of:
+                break
+            op = snap["op"]
+            if op == "retention_delete":
                 for p in snap["partitions"]:
                     live.pop(p, None)
-            else:
+            elif op == "rollback":
+                live = ParquetManifestCatalog._fold(snaps, as_of=snap["target"])
+            elif op == "overwrite_partitions":
                 for p, rec in snap["partitions"].items():
-                    live[p] = {**rec, "snapshot_id": snap["snapshot_id"]}
+                    live[p] = {
+                        **rec,
+                        "snapshot_id": snap["snapshot_id"],
+                        "partition_col": snap.get("partition_col", "bucket_date"),
+                    }
         return live
+
+    def committed_partitions(self, table: str, as_of: int | None = None) -> dict:
+        """Live partition -> lineage record, folding snapshots up to
+        ``as_of`` (default: current state)."""
+        return self._fold(self._load_manifest(table)["snapshots"], as_of)
 
     def input_watermark(self, table: str) -> str | None:
         for snap in reversed(self._load_manifest(table)["snapshots"]):
@@ -111,38 +145,42 @@ class ParquetManifestCatalog:
         partition_col: str = "bucket_date",
         input_watermark: str | None = None,
     ) -> dict:
-        """Dynamic partition overwrite + manifest commit.
+        """Copy-on-write partition overwrite + atomic manifest commit.
 
-        Only partitions present in ``df`` are replaced; everything else is
-        untouched (Iceberg overwritePartitions semantics). Returns the
-        snapshot record.
+        The incoming partitions are written into a FRESH snapshot directory
+        (one Spark job — no defensive checkpoint: existing files are never
+        touched, so a refresh that reads this table while overwriting it is
+        safe by construction). Per-partition row/byte metrics come from the
+        written parquet footers (driver-side metadata read, no second scan).
+        Only partitions present in ``df`` advance to the new snapshot;
+        everything else keeps its prior files (Iceberg overwritePartitions
+        semantics). Returns the snapshot record.
         """
+        import pyarrow.parquet as pq
+
         t0 = time.time()
-        # read-modify-write safety: an incremental refresh merges rows read
-        # from THIS table's files; materialize the plan before replacing them
-        # (real Iceberg gets this from snapshot isolation)
-        df = df.localCheckpoint(eager=True)
-        rows = {str(r[0]): r[1] for r in df.groupBy(partition_col).count().collect()}
-        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            df.write.mode("overwrite").partitionBy(partition_col).parquet(
-                self._data_dir(table)
-            )
-        finally:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        m = self._load_manifest(table)
+        sid = (m["snapshots"][-1]["snapshot_id"] + 1) if m["snapshots"] else 1
+        sdir = self._snap_dir(table, sid)
+        # mode=overwrite clears leftovers of a crashed (uncommitted) attempt
+        # at this same snapshot id
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(sdir)
         wall = time.time() - t0
         parts = {}
-        for pval, nrows in rows.items():
-            pdir = os.path.join(self._data_dir(table), f"{partition_col}={pval}")
-            nbytes = sum(
-                os.path.getsize(os.path.join(pdir, f))
-                for f in os.listdir(pdir)
-                if f.endswith(".parquet")
-            ) if os.path.isdir(pdir) else 0
+        for d in sorted(os.listdir(sdir)):
+            if not d.startswith(f"{partition_col}="):
+                continue
+            pval = d.split("=", 1)[1]
+            pdir = os.path.join(sdir, d)
+            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
             parts[pval] = {
-                "rows": int(nrows),
-                "bytes": int(nbytes),
+                "rows": int(sum(
+                    pq.ParquetFile(os.path.join(pdir, f)).metadata.num_rows
+                    for f in files
+                )),
+                "bytes": int(sum(
+                    os.path.getsize(os.path.join(pdir, f)) for f in files
+                )),
                 "wall_s": round(wall, 3),
                 "input_watermark": input_watermark,
             }
@@ -151,29 +189,98 @@ class ParquetManifestCatalog:
             partition_col=partition_col,
         )
 
-    def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self._data_dir(table))
+    def read(self, table: str, as_of: int | None = None) -> DataFrame:
+        """Snapshot-consistent read; ``as_of`` time-travels to a historical
+        snapshot id (files must not have been vacuumed since).
+
+        The live partition set is grouped by owning snapshot directory and
+        read with ``basePath`` so the partition column survives; partition
+        pruning still reaches each directory scan.
+        """
+        live = self.committed_partitions(table, as_of)
+        if not live:
+            raise ValueError(f"{table}: no committed partitions"
+                             + (f" at snapshot {as_of}" if as_of else ""))
+        groups: dict[int, list] = {}
+        for pval, rec in live.items():
+            groups.setdefault(rec["snapshot_id"], []).append((pval, rec["partition_col"]))
+        out = None
+        for sid in sorted(groups):
+            base = self._snap_dir(table, sid)
+            paths = [os.path.join(base, f"{pcol}={pval}") for pval, pcol in groups[sid]]
+            part = self.spark.read.option("basePath", base).parquet(*paths)
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def delete_where_older(
         self, table: str, cutoff: str, partition_col: str = "bucket_date"
     ) -> dict:
         """Retention expiry: drop whole partitions with value < cutoff.
 
-        Partition-predicate delete — metadata + directory removal only, no
-        data rewrite (the Iceberg ``DELETE WHERE`` fast path).
+        Partition-predicate delete — METADATA-ONLY (the Iceberg
+        ``DELETE WHERE`` fast path): expired partitions leave the live set
+        at the manifest commit; their immutable files remain until
+        ``expire_snapshots`` vacuums them, so prior snapshots stay
+        time-travel-readable.
         """
-        dropped = {}
+        live = self.committed_partitions(table)
+        dropped = {
+            pval: {"rows": 0, "bytes": 0, "wall_s": 0.0}
+            for pval, rec in sorted(live.items())
+            if rec["partition_col"] == partition_col and pval < cutoff
+        }
+        return self._append_snapshot(
+            table, "retention_delete", dropped, cutoff=cutoff, partition_col=partition_col
+        )
+
+    def rollback(self, table: str, to_snapshot: int) -> dict:
+        """Restore the table to a prior snapshot's state by APPENDING a
+        rollback record (history is never rewritten — Iceberg semantics).
+        """
+        snaps = self._load_manifest(table)["snapshots"]
+        if not any(s["snapshot_id"] == to_snapshot for s in snaps):
+            raise ValueError(f"{table}: unknown snapshot {to_snapshot}")
+        return self._append_snapshot(table, "rollback", {}, target=to_snapshot)
+
+    def expire_snapshots(self, table: str, keep_last: int = 0) -> dict:
+        """Vacuum: physically delete files no reachable state references.
+
+        Reachable = the current live state, plus the states at each of the
+        last ``keep_last`` snapshots (kept time-travel-readable). Also
+        reclaims orphan directories from crashed, never-committed writes.
+        Time travel to anything older stops working — Iceberg
+        ``expireSnapshots`` semantics.
+        """
+        snaps = self._load_manifest(table)["snapshots"]
+        committed_ids = [s["snapshot_id"] for s in snaps]
+        keep_states = [None] + (committed_ids[-keep_last:] if keep_last > 0 else [])
+        referenced = set()
+        for as_of in keep_states:
+            for pval, rec in self._fold(snaps, as_of).items():
+                referenced.add((rec["snapshot_id"], rec["partition_col"], pval))
+        removed = 0
         data = self._data_dir(table)
         if os.path.isdir(data):
             for d in sorted(os.listdir(data)):
-                if not d.startswith(f"{partition_col}="):
+                if not (d.startswith("s") and d[1:].isdigit()):
                     continue
-                pval = d.split("=", 1)[1]
-                if pval < cutoff:
-                    shutil.rmtree(os.path.join(data, d))
-                    dropped[pval] = {"rows": 0, "bytes": 0, "wall_s": 0.0}
+                sid = int(d[1:])
+                sdir = os.path.join(data, d)
+                if sid > (committed_ids[-1] if committed_ids else 0):
+                    shutil.rmtree(sdir)  # orphan of a crashed commit
+                    removed += 1
+                    continue
+                for pd_ in sorted(os.listdir(sdir)):
+                    if "=" not in pd_:
+                        continue
+                    pcol, pval = pd_.split("=", 1)
+                    if (sid, pcol, pval) not in referenced:
+                        shutil.rmtree(os.path.join(sdir, pd_))
+                        removed += 1
+                if not any("=" in e for e in os.listdir(sdir)):
+                    shutil.rmtree(sdir)
         return self._append_snapshot(
-            table, "retention_delete", dropped, cutoff=cutoff, partition_col=partition_col
+            table, "expire_snapshots", {}, removed_dirs=removed, keep_last=keep_last
         )
 
     def retention_cutoff(self, table: str, partition_col: str = "bucket_date") -> str | None:

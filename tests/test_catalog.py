@@ -123,15 +123,65 @@ def test_overwrite_touches_only_new_partitions(spark, tmp_path):
         [("a", "2024-01-01", 1), ("a", "2024-01-02", 2)], "k string, bucket_date string, v int"
     )
     cat.overwrite_partitions("t", df1)
-    d1 = os.path.join(str(tmp_path / "c"), "t/data/bucket_date=2024-01-01")
+    d1 = os.path.join(str(tmp_path / "c"), "t/data/s1/bucket_date=2024-01-01")
     mtime_before = max(os.path.getmtime(os.path.join(d1, f)) for f in os.listdir(d1))
 
     df2 = spark.createDataFrame([("a", "2024-01-02", 99)], "k string, bucket_date string, v int")
     cat.overwrite_partitions("t", df2)
     mtime_after = max(os.path.getmtime(os.path.join(d1, f)) for f in os.listdir(d1))
-    assert mtime_before == mtime_after  # 01-01 untouched
+    assert mtime_before == mtime_after  # 01-01 untouched (copy-on-write)
     got = {(str(r.bucket_date), r.v) for r in cat.read("t").collect()}
     assert got == {("2024-01-01", 1), ("2024-01-02", 99)}
+
+
+def test_time_travel_rollback_and_vacuum(spark, tmp_path):
+    """Snapshot semantics of the copy-on-write format: as-of reads
+    reconstruct any historical state, rollback restores one by appending
+    (history intact), vacuum reclaims only unreachable files."""
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "tt"))
+    mk = lambda rows: spark.createDataFrame(rows, "k string, bucket_date string, v int")
+    s1 = cat.overwrite_partitions("t", mk([("a", "2024-01-01", 1), ("a", "2024-01-02", 2)]))
+    s2 = cat.overwrite_partitions("t", mk([("a", "2024-01-02", 99)]))
+    cat.delete_where_older("t", "2024-01-02")  # s3: 01-01 expires (metadata-only)
+
+    state = lambda df: {(str(r.bucket_date), r.v) for r in df.collect()}
+    assert state(cat.read("t")) == {("2024-01-02", 99)}
+    assert state(cat.read("t", as_of=s1["snapshot_id"])) == {
+        ("2024-01-01", 1), ("2024-01-02", 2)}
+    assert state(cat.read("t", as_of=s2["snapshot_id"])) == {
+        ("2024-01-01", 1), ("2024-01-02", 99)}
+
+    # rollback to s1 appends a record; reads now see s1's state, and the
+    # rolled-over snapshots remain time-travel-readable
+    cat.rollback("t", s1["snapshot_id"])
+    assert state(cat.read("t")) == {("2024-01-01", 1), ("2024-01-02", 2)}
+    assert state(cat.read("t", as_of=s2["snapshot_id"])) == {
+        ("2024-01-01", 1), ("2024-01-02", 99)}
+
+    # vacuum with no history retention: s2's 01-02 files (unreferenced by
+    # the current, post-rollback state) are reclaimed; current state intact
+    cat.expire_snapshots("t", keep_last=0)
+    assert not os.path.isdir(os.path.join(str(tmp_path / "tt"), "t/data/s2"))
+    assert state(cat.read("t")) == {("2024-01-01", 1), ("2024-01-02", 2)}
+    with pytest.raises(Exception):
+        cat.read("t", as_of=s2["snapshot_id"]).collect()
+
+
+def test_vacuum_reclaims_orphans_keeps_history(spark, tmp_path):
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "vo"))
+    mk = lambda rows: spark.createDataFrame(rows, "k string, bucket_date string, v int")
+    s1 = cat.overwrite_partitions("t", mk([("a", "2024-01-01", 1)]))
+    s2 = cat.overwrite_partitions("t", mk([("a", "2024-01-01", 2)]))
+    # orphan of a crashed commit: data written, manifest never swapped
+    orphan = os.path.join(str(tmp_path / "vo"), "t/data/s99/bucket_date=2024-01-01")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-0.parquet"), "wb").close()
+
+    cat.expire_snapshots("t", keep_last=2)
+    assert not os.path.isdir(os.path.dirname(orphan))
+    state = lambda df: {(str(r.bucket_date), r.v) for r in df.collect()}
+    assert state(cat.read("t", as_of=s1["snapshot_id"])) == {("2024-01-01", 1)}
+    assert state(cat.read("t", as_of=s2["snapshot_id"])) == {("2024-01-01", 2)}
 
 
 def test_retention_and_manifest(spark, tmp_path):
