@@ -116,7 +116,7 @@ class ParquetManifestCatalog:
                     live.pop(p, None)
             elif op == "rollback":
                 live = ParquetManifestCatalog._fold(snaps, as_of=snap["target"])
-            elif op == "overwrite_partitions":
+            elif op in ("overwrite_partitions", "compact"):
                 for p, rec in snap["partitions"].items():
                     live[p] = {
                         **rec,
@@ -144,6 +144,7 @@ class ParquetManifestCatalog:
         df: DataFrame,
         partition_col: str = "bucket_date",
         input_watermark: str | None = None,
+        _op: str = "overwrite_partitions",
     ) -> dict:
         """Copy-on-write partition overwrite + atomic manifest commit.
 
@@ -185,8 +186,51 @@ class ParquetManifestCatalog:
                 "input_watermark": input_watermark,
             }
         return self._append_snapshot(
-            table, "overwrite_partitions", parts, input_watermark=input_watermark,
+            table, _op, parts, input_watermark=input_watermark,
             partition_col=partition_col,
+        )
+
+    def compact_partitions(
+        self,
+        table: str,
+        partition_col: str = "bucket_date",
+        target_file_bytes: int = 128 << 20,
+    ) -> dict | None:
+        """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite
+        fragmented partitions into ~``target_file_bytes`` files as a NEW
+        snapshot; untouched partitions keep their files, prior snapshots
+        stay time-travel-readable until vacuumed.
+
+        Frequent incremental/streaming commits each write their own files
+        into fresh snapshot directories, so a hot partition accumulates one
+        small file per commit — at 100 TB that degrades scan parallelism
+        into open-file overhead. A partition qualifies when it holds more
+        files than ``ceil(bytes / target_file_bytes)``. Returns the commit
+        snapshot, or None if nothing is fragmented. The compaction commit
+        carries no input watermark, so refresh resume logic is unaffected.
+        """
+        live = self.committed_partitions(table)
+        to_do, todo_bytes = [], 0
+        for pval, rec in sorted(live.items()):
+            if rec["partition_col"] != partition_col:
+                continue
+            pdir = os.path.join(
+                self._snap_dir(table, rec["snapshot_id"]), f"{partition_col}={pval}"
+            )
+            n_files = sum(1 for f in os.listdir(pdir) if f.endswith(".parquet"))
+            n_needed = max(1, -(-rec["bytes"] // target_file_bytes))
+            if n_files > n_needed:
+                to_do.append(pval)
+                todo_bytes += rec["bytes"]
+        if not to_do:
+            return None
+        df = self.read(table).filter(
+            F.col(partition_col).cast("string").isin(to_do)
+        )
+        n_out = max(1, -(-todo_bytes // target_file_bytes))
+        df = df.repartition(n_out, partition_col)
+        return self.overwrite_partitions(
+            table, df, partition_col=partition_col, _op="compact"
         )
 
     def read(self, table: str, as_of: int | None = None) -> DataFrame:

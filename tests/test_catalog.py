@@ -167,6 +167,36 @@ def test_time_travel_rollback_and_vacuum(spark, tmp_path):
         cat.read("t", as_of=s2["snapshot_id"]).collect()
 
 
+def test_compaction_rewrites_fragmented_partitions(spark, tmp_path):
+    """A commit whose writer fanned out over many tasks leaves many small
+    files per partition; compact_partitions rewrites them into few files
+    as a new snapshot with identical content, leaving history readable."""
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "cp"))
+    rows = [("k%d" % i, "2024-01-01", i) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, bucket_date string, v int").repartition(8)
+    s1 = cat.overwrite_partitions("t", df)
+
+    pdir = os.path.join(str(tmp_path / "cp"), "t/data/s1/bucket_date=2024-01-01")
+    n_before = sum(1 for f in os.listdir(pdir) if f.endswith(".parquet"))
+    assert n_before >= 2  # fragmented
+
+    snap = cat.compact_partitions("t")
+    assert snap is not None and snap["op"] == "compact"
+    live = cat.committed_partitions("t")
+    cdir = os.path.join(
+        str(tmp_path / "cp"),
+        f"t/data/s{live['2024-01-01']['snapshot_id']}/bucket_date=2024-01-01",
+    )
+    n_after = sum(1 for f in os.listdir(cdir) if f.endswith(".parquet"))
+    assert n_after < n_before and n_after == 1
+
+    state = lambda df_: sorted((r.k, str(r.bucket_date), r.v) for r in df_.collect())
+    assert state(cat.read("t")) == sorted((k, d, v) for k, d, v in rows)
+    assert state(cat.read("t", as_of=s1["snapshot_id"])) == state(cat.read("t"))
+    # already compact -> no-op
+    assert cat.compact_partitions("t") is None
+
+
 def test_vacuum_reclaims_orphans_keeps_history(spark, tmp_path):
     cat = ParquetManifestCatalog(spark, str(tmp_path / "vo"))
     mk = lambda rows: spark.createDataFrame(rows, "k string, bucket_date string, v int")
