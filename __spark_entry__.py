@@ -1107,6 +1107,11 @@ _SIMHASH_DUCK = _SHJ_DUCK.replace(
     "sb.n_sh AS n_b, TRUE AS band_consistent\nFROM common c",
 )
 
+# the .replace() derivations silently no-op if _SHJ_DUCK is ever reworded;
+# fail at import instead of as a confusing driver hash-mismatch
+assert "0.7" in _MINHASH_DUCK and "lsh_found" in _MINHASH_DUCK
+assert "0.7" in _SIMHASH_DUCK and "band_consistent" in _SIMHASH_DUCK
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with

@@ -128,6 +128,8 @@ def stream_rollup_to_catalog(
     table: str,
     checkpoint_dir: str,
     keys: tuple[str, ...] = ("conv_id", "bucket_start"),
+    compact_every: int | None = None,
+    vacuum_keep_last: int = 2,
 ):
     """Streaming sink into the manifest catalog: each micro-batch of
     finalized buckets is MERGED into the table's day partitions via
@@ -146,6 +148,12 @@ def stream_rollup_to_catalog(
     batch; with a watermark-finalized append stream those are the most
     recent day(s), so commit cost is bound by the write-amplification of
     one day partition, not table size.
+
+    ``compact_every=N`` runs table maintenance inside every Nth epoch's
+    commit: small-file compaction of fragmented partitions followed by a
+    vacuum retaining the last ``vacuum_keep_last`` snapshots — a
+    continuously-committing stream is exactly the writer that fragments
+    partitions and accumulates superseded snapshot files.
     """
     from pyspark.sql import functions as F
 
@@ -171,6 +179,16 @@ def stream_rollup_to_catalog(
         catalog.overwrite_partitions(
             table, merged, input_watermark=f"epoch={epoch_id}"
         )
+        # maintenance ride-along (parquet fallback catalog; real Iceberg
+        # schedules rewrite_data_files/expireSnapshots out of band)
+        if (
+            compact_every
+            and epoch_id > 0
+            and epoch_id % compact_every == 0
+            and hasattr(catalog, "compact_partitions")
+        ):
+            if catalog.compact_partitions(table) is not None:
+                catalog.expire_snapshots(table, keep_last=vacuum_keep_last)
 
     return (
         rollup.writeStream.foreachBatch(commit)

@@ -127,6 +127,41 @@ def test_stream_rollup_to_catalog_sink(spark, stream_dir, tmp_path):
     assert snaps and all(s["input_watermark"].startswith("epoch=") for s in snaps)
 
 
+def test_stream_sink_with_maintenance_ride_along(spark, stream_dir, tmp_path):
+    """compact_every wires table maintenance into the commit path: results
+    must be identical to the plain sink, and any compact/vacuum snapshots
+    must leave reads exact. (Whether compaction actually fires depends on
+    write fragmentation — the catalog-level behavior is pinned by
+    test_catalog::test_compaction_rewrites_fragmented_partitions.)"""
+    from olympian_spark.sources.catalog import ParquetManifestCatalog
+    from olympian_spark.streaming.rollup_stream import stream_rollup_to_catalog
+
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "catm"))
+    stream = read_transcripts_stream(spark, stream_dir)
+    agg = streaming_rollup_1m(stream, watermark="0 seconds")
+    writer = stream_rollup_to_catalog(
+        agg, cat, "m_1m", str(tmp_path / "ckm"), compact_every=1,
+        vacuum_keep_last=1,
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = cat.read("m_1m").drop("bucket_date").toPandas()
+    batch = (
+        spark.read.parquet(stream_dir)
+        .groupBy(F.date_trunc("minute", "ts").alias("bucket_start"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"),
+             F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("sum_text_len"))
+        .toPandas()
+    )
+    merged = got.merge(batch, on=["conv_id", "bucket_start"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got) > 0
+    assert not got.duplicated(["conv_id", "bucket_start"]).any()
+    assert (merged.n_turns_s == merged.n_turns_b).all()
+    ops = {s["op"] for s in cat._load_manifest("m_1m")["snapshots"]}
+    assert "overwrite_partitions" in ops  # maintenance ops optional extras
+
+
 def test_streaming_turn_gaps_tiny_arrow_chunks(spark, stream_dir, tmp_path):
     """One key's micro-batch rows split across MANY Arrow chunks (forced
     with maxRecordsPerBatch=2) must still produce the batch lag answer:
