@@ -60,6 +60,18 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ADVISORY_MB", "2") + "m",
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # shuffle/spill codec: a deployment knob, measured both ways on the
+        # 64M-turn pipeline (BENCH/codec_spike.py, interleaved best-of-2):
+        # zstd beats lz4 at BOTH levels per-window (1.09x at 8 cores, 1.03x
+        # at 32) because tmpfs shuffle files are pure memory traffic — but
+        # it helps the CPU-headroom level more, so it slightly compresses
+        # the N-vs-4N ratio on this one-bus VM. Default stays Spark's lz4;
+        # flip with SPARK_GRAFT_IO_CODEC=zstd (worth it on real clusters
+        # where shuffle crosses disks/network).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # grouped kernels stream per-group Arrow batches; 10k rows/batch keeps
