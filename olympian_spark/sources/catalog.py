@@ -116,12 +116,17 @@ class ParquetManifestCatalog:
                     live.pop(p, None)
             elif op == "rollback":
                 live = ParquetManifestCatalog._fold(snaps, as_of=snap["target"])
-            elif op in ("overwrite_partitions", "compact"):
+            elif op in ("overwrite_partitions", "compact", "base"):
                 for p, rec in snap["partitions"].items():
                     live[p] = {
                         **rec,
-                        "snapshot_id": snap["snapshot_id"],
-                        "partition_col": snap.get("partition_col", "bucket_date"),
+                        # a "base" record (manifest checkpoint) carries each
+                        # partition's owning data directory explicitly; live
+                        # commits own every partition they list
+                        "snapshot_id": rec.get("data_snapshot_id", snap["snapshot_id"]),
+                        "partition_col": rec.get(
+                            "partition_col", snap.get("partition_col", "bucket_date")
+                        ),
                     }
         return live
 
@@ -195,6 +200,7 @@ class ParquetManifestCatalog:
         table: str,
         partition_col: str = "bucket_date",
         target_file_bytes: int = 128 << 20,
+        sort_by: list | None = None,
     ) -> dict | None:
         """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite
         fragmented partitions into ~``target_file_bytes`` files as a NEW
@@ -208,6 +214,11 @@ class ParquetManifestCatalog:
         files than ``ceil(bytes / target_file_bytes)``. Returns the commit
         snapshot, or None if nothing is fragmented. The compaction commit
         carries no input watermark, so refresh resume logic is unaffected.
+
+        ``sort_by`` clusters rows within the rewritten files (Iceberg
+        write sort-order): parquet row-group min/max stats on the sort
+        columns then let predicate pushdown skip whole row groups, and
+        run-length locality compresses better.
         """
         live = self.committed_partitions(table)
         to_do, todo_bytes = [], 0
@@ -229,9 +240,57 @@ class ParquetManifestCatalog:
         )
         n_out = max(1, -(-todo_bytes // target_file_bytes))
         df = df.repartition(n_out, partition_col)
+        if sort_by:
+            df = df.sortWithinPartitions(partition_col, *sort_by)
         return self.overwrite_partitions(
             table, df, partition_col=partition_col, _op="compact"
         )
+
+    def checkpoint_manifest(self, table: str) -> dict:
+        """Squash manifest history into one base snapshot (Iceberg
+        rewrite-manifests + expire).
+
+        Every commit rewrites ``_manifest.json`` in full, and a streaming
+        sink appends one snapshot per epoch — unbounded history makes each
+        commit O(total history). This vacuums files the current state does
+        not reference, then rewrites the manifest as a single ``base``
+        record holding the live partition map (each entry keeping its
+        owning data directory via ``data_snapshot_id``), the last input
+        watermark, and the recorded retention cutoffs. Snapshot ids stay
+        monotonic; time travel before the checkpoint is gone (as after
+        ``expire_snapshots``).
+        """
+        live = self.committed_partitions(table)
+        wm = self.input_watermark(table)
+        cutoffs = {}
+        for s in self._load_manifest(table)["snapshots"]:
+            if s["op"] == "retention_delete":
+                pc = s.get("partition_col", "bucket_date")
+                cutoffs[pc] = max(cutoffs.get(pc, ""), s["cutoff"])
+            elif s["op"] == "base":
+                for pc, c in s.get("retention_cutoffs", {}).items():
+                    cutoffs[pc] = max(cutoffs.get(pc, ""), c)
+        self.expire_snapshots(table, keep_last=0)
+        last_id = self._load_manifest(table)["snapshots"][-1]["snapshot_id"]
+        base = {}
+        for p, rec in live.items():
+            r = dict(rec)
+            r["data_snapshot_id"] = r.pop("snapshot_id")
+            base[p] = r
+        snap = {
+            "snapshot_id": last_id + 1,
+            "op": "base",
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+            "partitions": base,
+            "input_watermark": wm,
+            "retention_cutoffs": cutoffs,
+        }
+        m = {"table": table, "snapshots": [snap]}
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path(table))
+        return snap
 
     def read(self, table: str, as_of: int | None = None) -> DataFrame:
         """Snapshot-consistent read; ``as_of`` time-travels to a historical
@@ -253,7 +312,11 @@ class ParquetManifestCatalog:
             base = self._snap_dir(table, sid)
             paths = [os.path.join(base, f"{pcol}={pval}") for pval, pcol in groups[sid]]
             part = self.spark.read.option("basePath", base).parquet(*paths)
-            out = part if out is None else out.unionByName(part)
+            # allowMissingColumns = schema evolution: files written before a
+            # column was added null-fill it (Iceberg add-column semantics)
+            out = part if out is None else out.unionByName(
+                part, allowMissingColumns=True
+            )
         return out
 
     def delete_where_older(
@@ -331,12 +394,17 @@ class ParquetManifestCatalog:
         """Latest retention cutoff recorded for the table (max over all
         ``retention_delete`` snapshots), or None if retention never ran.
         Writers consult this to avoid re-creating expired partitions."""
-        cutoffs = [
-            s["cutoff"]
-            for s in self._load_manifest(table)["snapshots"]
-            if s["op"] == "retention_delete"
-            and s.get("partition_col", "bucket_date") == partition_col
-        ]
+        cutoffs = []
+        for s in self._load_manifest(table)["snapshots"]:
+            if (
+                s["op"] == "retention_delete"
+                and s.get("partition_col", "bucket_date") == partition_col
+            ):
+                cutoffs.append(s["cutoff"])
+            elif s["op"] == "base":  # manifest checkpoint preserves cutoffs
+                c = s.get("retention_cutoffs", {}).get(partition_col)
+                if c:
+                    cutoffs.append(c)
         return max(cutoffs) if cutoffs else None
 
     def manifest_df(self, table: str) -> DataFrame:

@@ -197,6 +197,82 @@ def test_compaction_rewrites_fragmented_partitions(spark, tmp_path):
     assert cat.compact_partitions("t") is None
 
 
+def test_schema_evolution_and_sorted_compaction(spark, tmp_path):
+    """Add-column evolution: partitions written before a column existed
+    null-fill it on read (Iceberg semantics). Sorted compaction clusters
+    rows so parquet row-group stats support pruning."""
+    import pyarrow.parquet as pq
+
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "se"))
+    cat.overwrite_partitions(
+        "t",
+        spark.createDataFrame([("a", "2024-01-01", 1)], "k string, bucket_date string, v int"),
+    )
+    cat.overwrite_partitions(
+        "t",
+        spark.createDataFrame(
+            [("b", "2024-01-02", 2, 9.5)],
+            "k string, bucket_date string, v int, score double",
+        ),
+    )
+    got = {(r.k, r.v, r.score) for r in cat.read("t").collect()}
+    assert got == {("a", 1, None), ("b", 2, 9.5)}
+
+    # sorted compaction: fragment one partition, compact with sort_by=v desc?
+    # (sortWithinPartitions ascending by default) -> file rows ordered by v
+    rows = [("k%03d" % i, "2024-01-03", 999 - i) for i in range(300)]
+    cat.overwrite_partitions(
+        "t",
+        spark.createDataFrame(rows, "k string, bucket_date string, v int").repartition(6),
+    )
+    snap = cat.compact_partitions("t", sort_by=["v"])
+    assert snap is not None
+    live = cat.committed_partitions("t")
+    cdir = os.path.join(
+        str(tmp_path / "se"),
+        f"t/data/s{live['2024-01-03']['snapshot_id']}/bucket_date=2024-01-03",
+    )
+    fs = [f for f in os.listdir(cdir) if f.endswith(".parquet")]
+    assert len(fs) == 1
+    vals = pq.read_table(os.path.join(cdir, fs[0]), columns=["v"])["v"].to_pylist()
+    assert vals == sorted(vals)  # clustered -> row-group min/max usable
+
+
+def test_checkpoint_manifest_squashes_history(spark, tmp_path):
+    """Manifest checkpoint: history folds into one base snapshot with the
+    live partition map, preserving input watermark + retention cutoffs;
+    reads identical; unreferenced files vacuumed; later commits work."""
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "cm"))
+    mk = lambda rows: spark.createDataFrame(rows, "k string, bucket_date string, v int")
+    for epoch in range(5):  # streaming-style history
+        cat.overwrite_partitions(
+            "t", mk([("a", "2024-01-%02d" % (epoch + 1), epoch)]),
+            input_watermark=f"epoch={epoch}",
+        )
+    cat.delete_where_older("t", "2024-01-02")
+    before = {(str(r.bucket_date), r.v) for r in cat.read("t").collect()}
+
+    snap = cat.checkpoint_manifest("t")
+    assert snap["op"] == "base"
+    m = cat._load_manifest("t")
+    assert len(m["snapshots"]) == 1
+    assert {(str(r.bucket_date), r.v) for r in cat.read("t").collect()} == before
+    assert cat.input_watermark("t") == "epoch=4"
+    assert cat.retention_cutoff("t") == "2024-01-02"
+    # expired day's files were vacuumed
+    assert not os.path.isdir(os.path.join(str(tmp_path / "cm"), "t/data/s1"))
+
+    # post-checkpoint commit + read still correct, ids stay monotonic
+    s_next = cat.overwrite_partitions("t", mk([("a", "2024-01-06", 99)]))
+    assert s_next["snapshot_id"] > snap["snapshot_id"]
+    got = {(str(r.bucket_date), r.v) for r in cat.read("t").collect()}
+    assert got == before | {("2024-01-06", 99)}
+    # and a second checkpoint after retention keeps the newer cutoff
+    cat.delete_where_older("t", "2024-01-03")
+    cat.checkpoint_manifest("t")
+    assert cat.retention_cutoff("t") == "2024-01-03"
+
+
 def test_vacuum_reclaims_orphans_keeps_history(spark, tmp_path):
     cat = ParquetManifestCatalog(spark, str(tmp_path / "vo"))
     mk = lambda rows: spark.createDataFrame(rows, "k string, bucket_date string, v int")
