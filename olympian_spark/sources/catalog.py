@@ -503,3 +503,33 @@ class IcebergCatalog:
 
     def manifest_df(self, table: str) -> DataFrame:
         return self.spark.table(f"{self.catalog}.{table}.files")
+
+    # ---- maintenance (same surface as the fallback; Iceberg procedures) ----
+
+    def compact_partitions(self, table: str, partition_col: str = "bucket_date",
+                           target_file_bytes: int = 128 << 20,
+                           sort_by: list | None = None):
+        sort = f", strategy => 'sort', sort_order => '{', '.join(sort_by)}'" if sort_by else ""
+        return self.spark.sql(
+            f"CALL {self.catalog}.system.rewrite_data_files("
+            f"table => '{table}', "
+            f"options => map('target-file-size-bytes', '{target_file_bytes}')"
+            f"{sort})"
+        ).first()
+
+    def expire_snapshots(self, table: str, keep_last: int = 1):
+        return self.spark.sql(
+            f"CALL {self.catalog}.system.expire_snapshots("
+            f"table => '{table}', retain_last => {max(1, keep_last)})"
+        ).first()
+
+    def checkpoint_manifest(self, table: str):
+        return self.spark.sql(
+            f"CALL {self.catalog}.system.rewrite_manifests(table => '{table}')"
+        ).first()
+
+    def rollback(self, table: str, to_snapshot: int):
+        return self.spark.sql(
+            f"CALL {self.catalog}.system.rollback_to_snapshot("
+            f"table => '{table}', snapshot_id => {to_snapshot})"
+        ).first()
