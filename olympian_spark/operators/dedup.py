@@ -69,7 +69,7 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact shingle-Jaccard near-dup pairs (doc_a < doc_b).
 
@@ -80,11 +80,12 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` caps how many documents may share a shingle before it
     is dropped as a stop-shingle: the self-join on shingle produces
     O(doc_freq^2) rows per shingle, so one boilerplate phrase shared by a
-    million documents would otherwise explode the join at scale. The default
-    (None) keeps the exact Jaccard this docstring promises; large-scale
-    callers SHOULD pass a cap (~1000) — with it, shingle sizes (n_a/n_b)
-    are computed over the same capped universe so Jaccard stays internally
-    consistent over the reduced shingle set.
+    million documents would otherwise explode the join at scale. The
+    DEFAULT is the scale-safe 1000 (every join group bounded at ~10^6
+    rows); pass ``None`` explicitly to get the exact full-universe Jaccard
+    (e.g. for oracle comparisons on small data). With a cap, shingle sizes
+    (n_a/n_b) are computed over the same capped universe so Jaccard stays
+    internally consistent over the reduced shingle set.
     """
     sh = _shingle_table(df, n, max_doc_freq)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

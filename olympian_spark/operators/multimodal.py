@@ -393,6 +393,12 @@ def decode_verify(df: DataFrame) -> DataFrame:
                         raise NotImplementedError(kind)
                 except NotImplementedError:
                     ok[i] = len(p) == t["payload_len"]
+                except Exception:
+                    # Genuinely corrupt payload (bad magic, truncated
+                    # header, struct.error...): that is exactly what this
+                    # operator exists to detect — report decode_ok=False
+                    # instead of crashing the task.
+                    ok[i] = False
             yield pa.record_batch(
                 {
                     "media_id": batch.column("media_id"),

@@ -46,6 +46,7 @@ import json
 import os
 import shutil
 import time
+from urllib.parse import unquote
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -168,14 +169,24 @@ class ParquetManifestCatalog:
         m = self._load_manifest(table)
         sid = (m["snapshots"][-1]["snapshot_id"] + 1) if m["snapshots"] else 1
         sdir = self._snap_dir(table, sid)
-        # mode=overwrite clears leftovers of a crashed (uncommitted) attempt
-        # at this same snapshot id
+        # A crashed (uncommitted) attempt may have left files at this same
+        # snapshot id. mode=overwrite alone is not enough to clear them when
+        # the session runs with partitionOverwriteMode=dynamic (only the
+        # partitions present in df would be replaced, and the footer scan
+        # below would then commit the stale leftovers) — remove the whole
+        # uncommitted dir first.
+        if os.path.isdir(sdir):
+            shutil.rmtree(sdir, ignore_errors=True)
         df.write.mode("overwrite").partitionBy(partition_col).parquet(sdir)
         wall = time.time() - t0
         parts = {}
         for d in sorted(os.listdir(sdir)):
             if not d.startswith(f"{partition_col}="):
                 continue
+            # Manifest partition values are stored in Spark's escaped
+            # directory-name form (consistent with every path-rebuild and
+            # the vacuum reference set); comparisons against real column
+            # values unescape at the comparison site.
             pval = d.split("=", 1)[1]
             pdir = os.path.join(sdir, d)
             files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
@@ -235,8 +246,10 @@ class ParquetManifestCatalog:
                 todo_bytes += rec["bytes"]
         if not to_do:
             return None
+        # to_do holds dir-escaped values (for path rebuilds above); the data
+        # filter needs the real column values — unescape for the comparison.
         df = self.read(table).filter(
-            F.col(partition_col).cast("string").isin(to_do)
+            F.col(partition_col).cast("string").isin([unquote(p) for p in to_do])
         )
         n_out = max(1, -(-todo_bytes // target_file_bytes))
         df = df.repartition(n_out, partition_col)
@@ -331,10 +344,12 @@ class ParquetManifestCatalog:
         time-travel-readable.
         """
         live = self.committed_partitions(table)
+        # Manifest values are dir-escaped; compare the unescaped (real)
+        # value against the caller's cutoff. No-op for bucket_date.
         dropped = {
             pval: {"rows": 0, "bytes": 0, "wall_s": 0.0}
             for pval, rec in sorted(live.items())
-            if rec["partition_col"] == partition_col and pval < cutoff
+            if rec["partition_col"] == partition_col and unquote(pval) < cutoff
         }
         return self._append_snapshot(
             table, "retention_delete", dropped, cutoff=cutoff, partition_col=partition_col
