@@ -41,7 +41,14 @@ def _by_slice(df):
     n = 2 * df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, "slice_key").groupBy("slice_key")
 
-MAX_SLICE_STATIONS = 200_000  # fail-fast guard; reference ceiling is ~10^4
+# Fail-fast guard on per-slice station count (one slice = one task). The
+# reference's practical ceiling is ~10^4 (R*-tree + num_max cap,
+# sct.rs:144-147); our kernels use the same shape — a uniform-grid
+# neighbour index (oracle/spatial.py:_GridIndex) makes each sweep
+# output-sensitive instead of O(n²), tested to 10^5 stations in
+# test_spatial_index.py. Beyond the cap, split slices upstream (slice_key
+# is the parallelism unit).
+MAX_SLICE_STATIONS = 200_000
 
 
 def _prep(pdf: pd.DataFrame, max_stations: int) -> pd.DataFrame:

@@ -91,6 +91,56 @@ def _restore_bucket(df: DataFrame) -> DataFrame:
 
 _GRAIN = {"minute": "minute", "hour": "hour", "day": "day", "week": "week", "month": "month"}
 
+# Skew guard for the grouped Arrow kernels: one (conv, chunk_grain) group is
+# one task, so a pathological conversation holding tens of millions of turns
+# in a single week would otherwise become the stage's straggler (or OOM it).
+# Groups above this row count are re-chunked at DAY boundaries (SURVEY §4).
+# 2M rows ≈ 60-130 MB of kernel input per group — bounded task memory while
+# keeping the count far above anything a real conversation produces
+# (2M turns/week = 3.3 turns/s sustained for 7 days).
+_DEFAULT_MAX_CHUNK_ROWS = 2_000_000
+
+# output grains that nest inside a calendar day: for these, splitting a
+# chunk at UTC day boundaries never splits an output bucket, so the split
+# output is bit-identical to the unsplit output
+_DAY_NESTED_GRAINS = {"minute", "hour", "day"}
+
+
+def _skew_split_chunk(base: DataFrame, max_chunk_rows: int | None) -> DataFrame:
+    """Re-chunk pathological (conv_id, _chunk) groups at UTC day boundaries.
+
+    ``base`` must carry ``conv_id``, ``_chunk`` (chunk-grain-truncated µs)
+    and ``_ts_us`` (event time µs). Groups with more than ``max_chunk_rows``
+    rows get ``_chunk`` replaced by the row's day truncation, bounding every
+    kernel group by the conversation's single-day volume (the finest split
+    that keeps all day-nested output buckets whole — a hotter single DAY is
+    irreducible without splitting output buckets).
+
+    Scale shape: the hot-key detection is a map-side-combined count on
+    (conv_id, _chunk) — the shuffle moves one row per conversation-chunk —
+    and the hot set is bounded by total_rows / max_chunk_rows keys (at 10^12
+    turns and the 2M default, ≤ 500k keys), so it broadcasts. Day keys from
+    a hot week cannot collide with other weeks' keys (weeks are disjoint and
+    a week key IS its Monday's day key, which only re-appears if that very
+    week was split — consistently, for every row of the group).
+    """
+    if not max_chunk_rows:
+        return base
+    hot = (
+        base.groupBy("conv_id", "_chunk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_chunk_rows)
+        .select("conv_id", "_chunk", F.lit(True).alias("_hot"))
+    )
+    day_of_row = F.col("_ts_us") - F.col("_ts_us") % F.lit(_DAY_US)
+    return (
+        base.join(F.broadcast(hot), ["conv_id", "_chunk"], "left")
+        .withColumn(
+            "_chunk", F.when(F.col("_hot").isNotNull(), day_of_row).otherwise(F.col("_chunk"))
+        )
+        .drop("_hot")
+    )
+
 
 def _npcol(tbl: "pa.Table", name: str) -> np.ndarray:
     return tbl.column(name).to_numpy(zero_copy_only=False)
@@ -195,6 +245,7 @@ def rollup_1m(
     fail_flag_col: str | None = "flag_dip",
     grain: str = "minute",
     chunk_grain: str = "week",
+    max_chunk_rows: int | None = _DEFAULT_MAX_CHUNK_ROWS,
 ) -> DataFrame:
     """Finest tier from raw turns.
 
@@ -205,6 +256,10 @@ def rollup_1m(
     tier row per bucket. NULL gap (first turn) is carried as NaN so the
     turn's text_len still lands in the block; the quantile kernel drops
     non-finite exactly like the reference (sct.rs:71-75).
+
+    ``max_chunk_rows`` bounds kernel group size under conversation skew via
+    day-aligned re-chunking (:func:`_skew_split_chunk`) — bit-identical
+    output for day-nested ``grain``s; pass None to disable.
     """
     ts = F.col("ts").cast("timestamp")
     fail = (
@@ -239,6 +294,8 @@ def rollup_1m(
         )
         return _tier_table(conv, buckets, starts, ts_us, gaps, tl, ok)
 
+    if _GRAIN[grain] in _DAY_NESTED_GRAINS:
+        base = _skew_split_chunk(base, max_chunk_rows)
     return _restore_bucket(
         _kernel_input(base, "conv_id", "_chunk")
         .groupBy("conv_id", "_chunk")
@@ -435,6 +492,7 @@ def rollup_tiers_fused(
     df: DataFrame,
     fail_flag_col: str | None = "flag_dip",
     chunk_grain: str = "week",
+    max_chunk_rows: int | None = _DEFAULT_MAX_CHUNK_ROWS,
 ) -> DataFrame:
     """All three tiers (1m/1h/1d) in ONE shuffle + ONE kernel pass.
 
@@ -507,6 +565,9 @@ def rollup_tiers_fused(
 
         return pa.concat_tables([tag(t_m, 0), tag(t_h, 1), tag(t_d, 2)])
 
+    # all three emitted grains nest in a day -> day-aligned skew split is
+    # always output-preserving here
+    base = _skew_split_chunk(base, max_chunk_rows)
     return _restore_bucket(
         _kernel_input(base, "conv_id", "_chunk")
         .groupBy("conv_id", "_chunk")

@@ -59,6 +59,82 @@ def _chord2(x, y, z, i):
     return (dx * dx + dy * dy + dz * dz).astype(F32)
 
 
+# Stations below this count use the plain O(n) chord scan per query — the
+# vectorized scan over a few thousand f32 triples is cache-resident and
+# beats the grid's bookkeeping. Above it, the uniform-grid index turns each
+# sweep from O(n^2) into output-sensitive cost, the same role the
+# reference's R*-tree plays (spatial_tree.rs:41, sct.rs:144-147).
+_GRID_MIN_N = 4096
+
+
+class _GridIndex:
+    """Uniform-grid (cell-list / spatial-hash) neighbour index over chord
+    xyz coordinates — the classic public technique for fixed-radius
+    neighbour search (e.g. Hockney & Eastwood's cell lists).
+
+    Cell edge = max search radius inflated by 0.1%: any two points within
+    the radius then land in adjacent cells even after floating-point cell
+    assignment (coords are binned in f64; the inflation dominates the
+    1e-16 relative rounding), so a query scans exactly the 3^3 cells
+    around the query point. Candidates are returned in ASCENDING station
+    order with their exact-f32 squared chord distances — callers apply the
+    same f32 filter as the brute-force path, making grid and brute force
+    bit-identical by construction (f32 reductions downstream see the same
+    elements in the same order).
+
+    Degenerate geometries (cell-coordinate extent so large the packed key
+    would overflow int64) disable the index; callers fall back to the
+    brute scan. Build cost: one argsort of n packed keys.
+    """
+
+    __slots__ = ("x", "y", "z", "_kx", "_ky", "_kz", "_ny", "_nz",
+                 "_order", "_keys", "ok")
+
+    def __init__(self, x, y, z, radius: float):
+        self.x, self.y, self.z = x, y, z
+        cell = float(radius) * 1.001 + 1e-12
+        kx = np.floor(x.astype(np.float64) / cell).astype(np.int64)
+        ky = np.floor(y.astype(np.float64) / cell).astype(np.int64)
+        kz = np.floor(z.astype(np.float64) / cell).astype(np.int64)
+        kx -= kx.min()
+        ky -= ky.min()
+        kz -= kz.min()
+        # +3 head-room so neighbour offsets (+/-1) of edge cells stay in
+        # range of the packing without wrapping into another row
+        nx, ny, nz = int(kx.max()) + 3, int(ky.max()) + 3, int(kz.max()) + 3
+        if nx * ny * nz > (1 << 62):  # packed key would overflow
+            self.ok = False
+            return
+        self.ok = True
+        self._kx, self._ky, self._kz = kx, ky, kz
+        self._ny, self._nz = ny, nz
+        keys = (kx * ny + ky) * nz + kz
+        self._order = np.argsort(keys, kind="stable")
+        self._keys = keys[self._order]
+
+    def neighborhood(self, i: int):
+        """All stations in the 27 cells around station i, ascending station
+        index, plus their f32 squared chord distances (exact `_chord2`
+        arithmetic on the subset)."""
+        ny, nz = self._ny, self._nz
+        cx, cy, cz = int(self._kx[i]), int(self._ky[i]), int(self._kz[i])
+        chunks = []
+        for dx_ in (-1, 0, 1):
+            for dy_ in (-1, 0, 1):
+                row = ((cx + dx_) * ny + (cy + dy_)) * nz + cz
+                lo = np.searchsorted(self._keys, row - 1, side="left")
+                hi = np.searchsorted(self._keys, row + 1, side="right")
+                if hi > lo:
+                    chunks.append(self._order[lo:hi])
+        cand = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+        x, y, z = self.x, self.y, self.z
+        ddx = (x[cand] - x[i]).astype(F32)
+        ddy = (y[cand] - y[i]).astype(F32)
+        ddz = (z[cand] - z[i]).astype(F32)
+        c2 = (ddx * ddx + ddy * ddy + ddz * ddz).astype(F32)
+        return cand, c2
+
+
 def great_circle_matrix(lats: np.ndarray, lons: np.ndarray) -> np.ndarray:
     """Pairwise great-circle km distances, f32, clamped-acos form
     (util/mod.rs:110-136). Identical lat/lon pairs short-circuit to 0."""
@@ -112,6 +188,15 @@ def buddy_check(
     # init: Fail where value non-finite (buddy_check.rs:61-71)
     flags = np.where(np.isfinite(values), int(Flag.PASS), int(Flag.FAIL)).astype(np.int64)
 
+    # neighbour index for large slices (radii are SQUARED chord km² — the
+    # reference's radius-unit quirk — so the grid cell is their sqrt)
+    index = None
+    if n >= _GRID_MIN_N:
+        r2max = float(np.max(radii))
+        if np.isfinite(r2max) and r2max > 0:
+            idx = _GridIndex(x, y, z, np.sqrt(r2max))
+            index = idx if idx.ok else None
+
     num_removed_last_iteration = 0
     for _it in range(num_iterations):
         for i in range(n):
@@ -123,11 +208,20 @@ def buddy_check(
             if obs_to_check is not None and not obs_to_check[i]:
                 continue
 
-            c2 = _chord2(x, y, z, i)
-            # squared-radius semantics + exclude exact xyz coincidence
-            neigh = np.where(
-                (c2 <= radius) & ~((x == x[i]) & (y == y[i]) & (z == z[i]))
-            )[0]
+            if index is not None:
+                cand, c2c = index.neighborhood(i)
+                neigh = cand[
+                    (c2c <= radius)
+                    & ~(
+                        (x[cand] == x[i]) & (y[cand] == y[i]) & (z[cand] == z[i])
+                    )
+                ]
+            else:
+                c2 = _chord2(x, y, z, i)
+                # squared-radius semantics + exclude exact xyz coincidence
+                neigh = np.where(
+                    (c2 <= radius) & ~((x == x[i]) & (y == y[i]) & (z == z[i]))
+                )[0]
 
             list_buddies = np.empty(0, dtype=F32)
             if neigh.size >= num_min:
@@ -253,6 +347,13 @@ def sct(
     prob_gross_error = np.zeros(n, dtype=F32)  # computed, never returned (sct.rs:296)
     flags[~np.isfinite(elevs)] = int(Flag.INVALID)  # sct.rs:298-302
 
+    # neighbour index for large slices (outer_radius is squared chord km² —
+    # the reference's radius-unit quirk)
+    index = None
+    if n >= _GRID_MIN_N and float(outer_radius) > 0:
+        idx = _GridIndex(x, y, z, float(np.sqrt(np.float64(outer_radius))))
+        index = idx if idx.ok else None
+
     for _it in range(num_iterations):
         num_thrown_out = 0
         checked = np.zeros(n, dtype=bool)
@@ -269,10 +370,19 @@ def sct(
 
             # outer-radius box, self INCLUDED (include_match=true), squared
             # bound; distances are un-squared chord km (spatial_tree.rs:70-91)
-            c2 = _chord2(x, y, z, i)
-            cand = np.where(c2 <= outer_radius)[0]
-            cand = cand[flags[cand] == int(Flag.PASS)]  # remove_flagged
-            dist = np.sqrt(c2[cand]).astype(F32)
+            if index is not None:
+                cand0, c2c = index.neighborhood(i)
+                within = c2c <= outer_radius
+                cand = cand0[within]
+                c2w = c2c[within]
+                keep = flags[cand] == int(Flag.PASS)  # remove_flagged
+                cand = cand[keep]
+                dist = np.sqrt(c2w[keep]).astype(F32)
+            else:
+                c2 = _chord2(x, y, z, i)
+                cand = np.where(c2 <= outer_radius)[0]
+                cand = cand[flags[cand] == int(Flag.PASS)]  # remove_flagged
+                dist = np.sqrt(c2[cand]).astype(F32)
 
             if cand.size > num_max:
                 # stable sort by distance asc (ties keep index order), take num_max

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from olympian_spark.operators.qc_series import dip_flag, step_flag, with_flatline_flag
 from olympian_spark.operators.rollup import (
+    _DEFAULT_MAX_CHUNK_ROWS,
     rollup_1m,
     rollup_by_dimension,
     rollup_coarser,
@@ -65,6 +66,7 @@ def build_tiers(
     params: QcParams = QcParams(),
     persist: bool | str = True,
     fused: bool = True,
+    max_chunk_rows: int | None = _DEFAULT_MAX_CHUNK_ROWS,
 ) -> dict[str, DataFrame]:
     """All tier tables from a transcripts DataFrame.
 
@@ -115,12 +117,18 @@ def build_tiers(
     )
     if fused:
         # slim has a single consumer (the fused kernel) -> no cache for it
-        tagged = mat(rollup_tiers_fused(slim, fail_flag_col="flag_dip"))
+        tagged = mat(
+            rollup_tiers_fused(
+                slim, fail_flag_col="flag_dip", max_chunk_rows=max_chunk_rows
+            )
+        )
         t1m = tagged.filter("_grain = 0").drop("_grain")
         t1h = tagged.filter("_grain = 1").drop("_grain")
         t1d = tagged.filter("_grain = 2").drop("_grain")
     else:
-        t1m = mat(rollup_1m(slim, fail_flag_col="flag_dip"))
+        t1m = mat(
+            rollup_1m(slim, fail_flag_col="flag_dip", max_chunk_rows=max_chunk_rows)
+        )
         t1h = mat(rollup_coarser(t1m, "hour"))
         t1d = rollup_coarser(t1h, "day")
     # dimension rollups stay one-groupBy-per-dimension over the pre-window

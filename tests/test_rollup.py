@@ -308,3 +308,80 @@ def test_int64_key_cascade_matches_string_key(spark):
                 ).all(), f"grain {grain} col {col} mismatch"
     for d in (*str_tiers[:2], *int_tiers[:2], slim, mapping):
         d.unpersist()
+
+
+def test_skew_split_bounds_groups_and_is_bit_identical(spark):
+    """Day-aligned sub-chunking of hot (conv, week) kernel groups (SURVEY §4,
+    the 100x-scale straggler/OOM guard): with one conversation holding ~20%
+    of all turns inside a single week, a tiny max_chunk_rows must (a) split
+    that conversation's week into multiple bounded kernel groups and (b)
+    leave every tier output row bit-identical to the unsplit run — all three
+    emitted grains nest in a day, so day-aligned splits never cut an output
+    bucket."""
+    from olympian_spark.operators.rollup import (
+        _DAY_US,
+        _skew_split_chunk,
+        rollup_tiers_fused,
+    )
+    from olympian_spark.plans.pipeline import qc_flags
+
+    # span_days=5 -> the hot conv's turns land inside one calendar week
+    pdf = gen_transcripts(30_000, 40, seed=17, hot_conv_share=0.20, span_days=5.0)
+    df = spark.createDataFrame(pdf.to_pandas())
+    slim = qc_flags(df, PARAMS).select(
+        "conv_id", "turn_idx", "ts", "turn_gap_s", "text_len", "flag_dip"
+    )
+
+    # (a) the split itself: hot conv -> several day chunks, each bounded
+    ts = F.col("ts").cast("timestamp")
+    base = slim.select(
+        "conv_id",
+        F.unix_micros(F.date_trunc("week", ts)).alias("_chunk"),
+        F.unix_micros(ts).alias("_ts_us"),
+    )
+    split = _skew_split_chunk(base, max_chunk_rows=500)
+    per_group = split.groupBy("conv_id", "_chunk").count().collect()
+    hot_conv = "conv_000000"  # gen_transcripts makes conv 0 the hot one
+    hot_groups = [r for r in per_group if r.conv_id == hot_conv]
+    assert len(hot_groups) > 1, "hot conv-week was not split"
+    # day-aligned: every split chunk key is a UTC day boundary
+    assert all(r._chunk % _DAY_US == 0 for r in hot_groups)
+    # bounded by the conv's single-day volume (5 days of data -> each day
+    # well under the unsplit 6000-row week)
+    assert max(r["count"] for r in hot_groups) < 6000
+    # convs below the threshold keep their week chunks untouched
+    orig_counts = base.groupBy("conv_id", "_chunk").count().collect()
+    cold = {
+        r.conv_id
+        for r in orig_counts
+        if all(c["count"] <= 500 for c in orig_counts if c.conv_id == r.conv_id)
+    }
+    assert cold, "fixture needs some sub-threshold convs"
+    n_cold_split = split.filter(F.col("conv_id").isin(list(cold))).select(
+        "conv_id", "_chunk"
+    ).distinct().count()
+    n_cold_orig = sum(1 for r in orig_counts if r.conv_id in cold)
+    assert n_cold_split == n_cold_orig
+
+    # (b) bit-identical tiers
+    a = (
+        rollup_tiers_fused(slim, max_chunk_rows=500)
+        .orderBy("conv_id", "bucket_start", "_grain")
+        .toPandas()
+    )
+    b = (
+        rollup_tiers_fused(slim, max_chunk_rows=None)
+        .orderBy("conv_id", "bucket_start", "_grain")
+        .toPandas()
+    )
+    assert len(a) == len(b) > 0
+    for col in a.columns:
+        av, bv = a[col].to_numpy(), b[col].to_numpy()
+        if av.dtype == np.float32:
+            assert (av.view(np.uint32) == bv.view(np.uint32)).all(), (
+                f"col {col} not bit-equal under skew split"
+            )
+        else:
+            assert (
+                (a[col].isna() & b[col].isna()) | (a[col] == b[col])
+            ).all(), f"col {col} mismatch under skew split"
