@@ -1,12 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Container-less formats decode for real, in pure numpy — PPM (P6) and
-uncompressed 24-bit BMP images, 16-bit PCM WAV audio — feeding genuine
-pixel/sample feature extraction. Codec formats (png/h264/flac) would need
-external libraries this container doesn't ship: ``decode_image`` /
-``decode_audio`` raise NotImplementedError for those, and the pipeline
-falls back to a deterministic keyed-hash feature so the distributed
-dataflow still executes end to end for every row.
+Real pure-numpy decoders — PPM (P6), uncompressed 24-bit BMP, and 8-bit
+RGB/RGBA PNG (stdlib zlib inflate + numpy scanline unfiltering) images,
+16-bit PCM WAV audio — feed genuine pixel/sample feature extraction.
+Codecs that genuinely need external libraries (h264/flac/jpeg) raise
+NotImplementedError from ``decode_image`` / ``decode_audio``, and the
+pipeline falls back to a deterministic keyed-hash feature so the
+distributed dataflow still executes end to end for every row.
 
 Schema convention:
 
@@ -144,6 +144,114 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
     return pcm.astype(np.float32) / np.float32(32768.0), rate
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal valid PNG (public spec, RFC 2083): 8-bit RGB, no interlace,
+    filter type 0 on every scanline, one zlib-deflated IDAT."""
+    import zlib
+
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # depth 8, RGB
+    raw = np.empty((h, 1 + w * 3), np.uint8)
+    raw[:, 0] = 0  # filter type None per scanline
+    raw[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG per-scanline filtering (spec §6): rows of ``raw`` are
+    (filter_byte + stride filtered bytes). None and Up are whole-row
+    vectorized; Sub is a per-byte-lane cumulative sum mod 256 (the
+    recurrence out[x] = raw[x] + out[x-bpp] decouples across the bpp byte
+    lanes); Average/Paeth keep the spec's sequential recurrence (rare in
+    practice — our encoder never emits them; decoded for completeness)."""
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint16)
+    for r in range(h):
+        ftype = int(raw[r, 0])
+        line = raw[r, 1:].astype(np.uint16)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub: lane-wise cumsum mod 256
+            cur = line.copy()
+            for o in range(bpp):
+                cur[o::bpp] = np.cumsum(cur[o::bpp]) & 0xFF
+        elif ftype == 3:  # Average
+            cur = np.empty(stride, np.uint16)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + ((int(a) + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = np.empty(stride, np.uint16)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                cc = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 from an 8-bit RGB/RGBA non-interlaced PNG — stdlib
+    zlib inflate + numpy row unfiltering, no external image library."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace}"
+                    " (only 8-bit RGB/RGBA, non-interlaced)"
+                )
+            nch = 3 if color == 2 else 4
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    stride = w * nch
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG IDAT size mismatch")
+    px = _png_unfilter(raw.reshape(h, 1 + stride), h, stride, nch)
+    img = px.reshape(h, w, nch)
+    return np.ascontiguousarray(img[:, :, :3])  # drop alpha if present
+
+
 def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Area-average (block-mean) resize of an (h, w, 3) uint8 image —
     the standard downscale for feature extraction. Non-divisible shapes
@@ -159,13 +267,15 @@ def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes, meta: dict) -> "np.ndarray":
-    """(h, w, 3) uint8. Real pure-numpy decode for container-less formats
-    (ppm, bmp); codec formats need PIL/opencv, absent in this container."""
+    """(h, w, 3) uint8. Real pure-numpy decode for ppm, bmp and png
+    (stdlib zlib); jpeg/webp/... need PIL/opencv, absent here."""
     codec = (meta or {}).get("codec")
     if codec == "ppm" or payload[:2] == b"P6":
         return decode_ppm(payload)
     if codec == "bmp" or payload[:2] == b"BM":
         return decode_bmp24(payload)
+    if codec == "png" or payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(f"image codec {codec!r} needs PIL/opencv")
 
 
@@ -279,8 +389,12 @@ def gen_fake_media(
                 ],
                 axis=2,
             ).astype(np.uint8)
-            codec = "ppm" if i % 2 == 0 else "bmp"
-            payload = encode_ppm(img) if codec == "ppm" else encode_bmp24(img)
+            codec = ("ppm", "bmp", "png")[(i // 3) % 3]
+            payload = {
+                "ppm": encode_ppm,
+                "bmp": encode_bmp24,
+                "png": encode_png,
+            }[codec](img)
             meta = (w, h, None, codec)
             truth = (int(img.sum(dtype=np.int64)), w, h, None, len(payload))
         elif kind == "audio":
