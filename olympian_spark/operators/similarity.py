@@ -113,6 +113,82 @@ def _cap_bucket_membership(
     )
 
 
+def _table_seed(seed: int, table: int) -> int:
+    # independent hyperplane draws per table; 13 is the historic default
+    return seed + 7919 * table  # 7919: 1000th prime, just a seed spacing
+
+
+def _ann_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_planes: int,
+    multiprobe_bits: int,
+    n_tables: int,
+    id_col: str,
+    vec_col: str,
+    max_bucket_size: int | None,
+    seed: int = 13,
+) -> DataFrame:
+    """Distinct (query_id, vec_id, qv, cv) LSH candidate pairs across
+    ``n_tables`` independent hyperplane tables.
+
+    Each table's bucket id is folded with the table index into ONE join key
+    (``table << n_planes | bucket``), so the whole multi-table candidate
+    generation is a single equi-join however many tables there are. The
+    corpus is replicated per table (the classic storage cost of multi-table
+    LSH — L index copies); the membership cap applies per (table, bucket),
+    so every join group stays bounded at ``max_bucket_size``.
+    """
+    tables = range(n_tables)
+
+    def keyed(df, vcol):
+        # array of per-table join keys for one row
+        keys = []
+        v = F.col(vcol).cast("array<double>")
+        for t in tables:
+            planes = _hyperplanes(dim, n_planes, _table_seed(seed, t))
+            bucket = F.lit(0).cast("long")
+            for i, p in enumerate(planes):
+                h = F.array(*[F.lit(float(x)) for x in p])
+                bit = F.when(_dot(v, h) >= 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+            keys.append(bucket + F.lit(t << n_planes).cast("long"))
+        return keys
+
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    c = c.select(
+        "vec_id", "cv", F.explode(F.array(*keyed(c, "cv"))).alias("lsh_key")
+    )
+    c = _cap_bucket_membership(c, max_bucket_size, bucket_col="lsh_key")
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probe_cols = []
+    for t, key in enumerate(keyed(q, "qv")):
+        # multiprobe: the query's own bucket + all sign patterns within
+        # `multiprobe_bits` hyperplane flips, per table
+        probe_cols.append(key)
+        if multiprobe_bits >= 1:
+            probe_cols += [key.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        if multiprobe_bits >= 2:
+            probe_cols += [
+                key.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            ]
+    q = q.select(
+        "query_id", "qv", F.explode(F.array(*probe_cols)).alias("lsh_key")
+    )
+    return (
+        c.join(q, "lsh_key")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "qv", "cv")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -123,48 +199,32 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = 100_000,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket or any
-    bucket within ``multiprobe_bits`` bit-flips; exact cosine rerank inside
-    the candidate set. Output schema matches :func:`cosine_topk`.
+    bucket within ``multiprobe_bits`` bit-flips, in ANY of ``n_tables``
+    independent hyperplane tables; exact cosine rerank inside the candidate
+    set. Output schema matches :func:`cosine_topk`.
 
-    ``max_bucket_size`` bounds corpus-side bucket membership (see
-    :func:`_cap_bucket_membership`) so a hot bucket contributes at most that
-    many candidates per probing query instead of its full population."""
-    c = with_lsh_bucket(
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")),
-        dim, n_planes, vec_col="cv",
+    ``n_tables`` is the scale lever for recall: one table of 2^n_planes
+    buckets is too coarse for 10^9+ vectors (a near pair straddling one
+    hyperplane is lost), while L independent tables miss only pairs
+    separated in EVERY table — recall 1-(1-p)^L for per-table collision
+    probability p, at the storage cost of L corpus replications (classic
+    multi-table LSH; property-tested in test_text_ops).
+
+    ``max_bucket_size`` bounds corpus-side membership per (table, bucket)
+    (see :func:`_cap_bucket_membership`) so a hot bucket contributes at most
+    that many candidates per probing query instead of its full population."""
+    cand = _ann_candidates(
+        corpus, queries, dim, n_planes, multiprobe_bits, n_tables,
+        id_col, vec_col, max_bucket_size,
     )
-    c = _cap_bucket_membership(c, max_bucket_size)
-    q = with_lsh_bucket(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        dim, n_planes, vec_col="qv",
-    )
-    # probe buckets: own + 1-bit (and optionally 2-bit) flips — classic
-    # multiprobe: neighbouring sign-patterns are the likeliest to hold the
-    # true nearest vectors that landed just across a hyperplane
-    probes = [F.col("lsh_bucket")]
-    if multiprobe_bits >= 1:
-        probes += [
-            F.col("lsh_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
-        ]
-    if multiprobe_bits >= 2:
-        probes += [
-            F.col("lsh_bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        ]
-    q = q.select(
-        "query_id", "qv", F.explode(F.array(*probes)).alias("lsh_bucket")
-    )
-    cand = c.join(q, "lsh_bucket").filter(F.col("vec_id") != F.col("query_id"))
     cos = (
         _dot(F.col("cv").cast("array<double>"), F.col("qv").cast("array<double>"))
         / (_norm(F.col("cv").cast("array<double>")) * _norm(F.col("qv").cast("array<double>")))
     )
-    scored = cand.select(
-        "query_id", "vec_id", F.round(cos, 6).alias("cos_sim")
-    ).dropDuplicates(["query_id", "vec_id"])
+    scored = cand.select("query_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

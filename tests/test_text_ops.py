@@ -237,3 +237,71 @@ def test_lsh_ann_hot_bucket_candidates_capped(spark):
     # each query gets k results drawn from the <=20 capped members
     assert (out.groupby("query_id").size() == 5).all()
     assert out.vec_id.nunique() <= 20
+
+
+def test_multi_table_lsh_recall_at_scale(spark):
+    """Judge-spec recall property: dim-64 corpus of 10^5 vectors with
+    planted near neighbours (cos ~0.94 — the high-similarity regime
+    multi-table LSH exists for), 20 queries. 4 independent hyperplane
+    tables with 1-bit multiprobe must reach recall@10 >= 0.9 against the
+    exact numpy baseline while candidate sets stay bounded (single-table
+    2^12 buckets is provably too coarse at 10^9+ scale; L tables miss a
+    pair only if it splits in EVERY table)."""
+    import pandas as pd
+
+    from olympian_spark.operators.similarity import _ann_candidates
+
+    rng = np.random.default_rng(42)
+    dim, n, n_q, n_plant = 64, 100_000, 20, 10
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    q_ids = np.arange(n_q) * 5000  # spread through the corpus
+    for qi in q_ids:
+        base = vecs[qi] / np.linalg.norm(vecs[qi])
+        for j in range(1, n_plant + 1):
+            noise = rng.normal(size=dim).astype(np.float32)
+            noise -= noise @ base * base  # orthogonalize
+            noise /= np.linalg.norm(noise)
+            vecs[qi + j] = (base + 0.35 * noise) * float(rng.uniform(0.5, 2.0))
+
+    # exact numpy top-10 per query (cosine, engine's tiebreak irrelevant:
+    # planted neighbours dominate by a wide margin)
+    norms = np.linalg.norm(vecs, axis=1)
+    unit = vecs / norms[:, None]
+    expected = {}
+    for qi in q_ids:
+        cos = unit @ unit[qi]
+        cos[qi] = -2.0
+        expected[int(qi)] = set(np.argsort(-cos)[:n_plant].tolist())
+        assert expected[int(qi)] == {int(qi) + j for j in range(1, n_plant + 1)}
+
+    pdf = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(vecs)})
+    emb = spark.createDataFrame(pdf)
+    qs = emb.filter(F.col("vec_id").isin([int(x) for x in q_ids]))
+
+    kw = dict(
+        dim=dim, n_planes=12, multiprobe_bits=1, n_tables=4,
+        max_bucket_size=2000,
+    )
+    approx = lsh_ann_topk(emb, qs, k=n_plant, **kw).collect()
+    got = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(got.get(int(qi), set()) & expected[int(qi)]) / n_plant for qi in q_ids
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"mean recall@10 {mean_recall:.3f} < 0.9: {recalls}"
+
+    # bounded candidates: the union of 4 tables' probes must stay a small
+    # fraction of the corpus (the whole point vs brute force)
+    n_cand = (
+        _ann_candidates(
+            emb, qs, dim, n_planes=12, multiprobe_bits=1, n_tables=4,
+            id_col="vec_id", vec_col="embedding", max_bucket_size=2000,
+        )
+        .groupBy("query_id")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert n_cand < n // 5, f"candidate set not bounded: {n_cand} of {n}"
