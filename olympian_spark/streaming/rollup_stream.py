@@ -130,6 +130,7 @@ def stream_rollup_to_catalog(
     keys: tuple[str, ...] = ("conv_id", "bucket_start"),
     compact_every: int | None = None,
     vacuum_keep_last: int = 2,
+    coarser: tuple = (),
 ):
     """Streaming sink into the manifest catalog: each micro-batch of
     finalized buckets is MERGED into the table's day partitions via
@@ -154,6 +155,17 @@ def stream_rollup_to_catalog(
     vacuum retaining the last ``vacuum_keep_last`` snapshots — a
     continuously-committing stream is exactly the writer that fragments
     partitions and accumulates superseded snapshot files.
+
+    ``coarser`` rides the 1h/1d tiers along every commit: pairs of
+    ``(table_name, grain)`` (e.g. ``(("tier_1h", "hour"), ("tier_1d",
+    "day"))``). The merged frame already holds the COMPLETE finest-tier
+    content of every touched day, and hour/day buckets nest within a day,
+    so each coarse bucket of those days recomputes exactly from the
+    decomposable partials (sum of counts/sums) and merges with the same
+    anti-join-then-overwrite pattern — a streaming deployment gets 1h/1d
+    freshness at finalized-1m latency instead of waiting for the batch
+    refresh. Cost per epoch stays bound by the touched days, not table
+    size.
     """
     from pyspark.sql import functions as F
 
@@ -176,9 +188,39 @@ def stream_rollup_to_catalog(
                 .join(out.select(*keys).distinct(), list(keys), "left_anti")
             )
             merged = out.unionByName(existing.select(*out.columns))
+        if coarser:
+            merged = merged.persist()  # 3 consumers; bounded by touched days
         catalog.overwrite_partitions(
             table, merged, input_watermark=f"epoch={epoch_id}"
         )
+        for ctable, grain in coarser:
+            measures = [
+                c for c in merged.columns
+                if c not in ("conv_id", "bucket_start", "bucket_date")
+            ]
+            coarse = (
+                merged.groupBy(
+                    F.date_trunc(grain, "bucket_start").alias("bucket_start"),
+                    "conv_id",
+                )
+                .agg(*[F.sum(m).alias(m) for m in measures])
+                .select("conv_id", "bucket_start", *measures)
+            )
+            coarse = with_bucket_date(coarse, "bucket_start")
+            if catalog.current_snapshot(ctable) is None:
+                cmerged = coarse
+            else:
+                cexisting = (
+                    catalog.read(ctable)
+                    .filter(F.col("bucket_date").cast("string").isin(days))
+                    .join(coarse.select(*keys).distinct(), list(keys), "left_anti")
+                )
+                cmerged = coarse.unionByName(cexisting.select(*coarse.columns))
+            catalog.overwrite_partitions(
+                ctable, cmerged, input_watermark=f"epoch={epoch_id}"
+            )
+        if coarser:
+            merged.unpersist()
         # maintenance ride-along (parquet fallback catalog; real Iceberg
         # schedules rewrite_data_files/expireSnapshots out of band)
         if (

@@ -203,3 +203,43 @@ def test_streaming_turn_gaps_tiny_arrow_chunks(spark, stream_dir, tmp_path):
     b = merged.turn_gap_s_s.to_numpy(np.float32)
     both_nan = np.isnan(a) & np.isnan(b)
     assert (both_nan | (a.view(np.uint32) == b.view(np.uint32))).all()
+
+
+def test_stream_coarser_tiers_ride_along(spark, stream_dir, tmp_path):
+    """coarser=(1h, 1d) rides the coarse tiers along the streaming 1m sink:
+    after the stream drains, the streamed 1h and 1d tables must equal the
+    batch groupBy over all finalized data — a streaming deployment gets
+    1h/1d freshness without waiting for the batch refresh."""
+    from olympian_spark.sources.catalog import ParquetManifestCatalog
+    from olympian_spark.streaming.rollup_stream import stream_rollup_to_catalog
+
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "catc"))
+    stream = read_transcripts_stream(spark, stream_dir)
+    agg = streaming_rollup_1m(stream, watermark="0 seconds")
+    writer = stream_rollup_to_catalog(
+        agg, cat, "c_1m", str(tmp_path / "ckc"),
+        coarser=(("c_1h", "hour"), ("c_1d", "day")),
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    fine = cat.read("c_1m").drop("bucket_date")
+    for ctable, grain in (("c_1h", "hour"), ("c_1d", "day")):
+        got = cat.read(ctable).drop("bucket_date").toPandas()
+        batch = (
+            fine.groupBy(
+                F.date_trunc(grain, "bucket_start").alias("bucket_start"), "conv_id"
+            )
+            .agg(F.sum("n_turns").alias("n_turns"),
+                 F.sum("sum_text_len").alias("sum_text_len"))
+            .toPandas()
+        )
+        merged = got.merge(
+            batch, on=["conv_id", "bucket_start"], suffixes=("_s", "_b")
+        )
+        assert len(merged) == len(got) == len(batch) > 0, f"{ctable}: keyspace"
+        assert not got.duplicated(["conv_id", "bucket_start"]).any()
+        assert (merged.n_turns_s == merged.n_turns_b).all(), ctable
+        assert (merged.sum_text_len_s == merged.sum_text_len_b).all(), ctable
+        snaps = cat._load_manifest(ctable)["snapshots"]
+        assert all(s["input_watermark"].startswith("epoch=") for s in snaps)
