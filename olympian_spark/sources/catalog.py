@@ -488,10 +488,16 @@ class IcebergCatalog:
     def overwrite_partitions(self, table: str, df: DataFrame,
                              partition_col: str = "bucket_date",
                              input_watermark: str | None = None):
-        writer = df.writeTo(f"{self.catalog}.{table}")
+        full = f"{self.catalog}.{table}"
+        writer = df.writeTo(full)
         if input_watermark:
             writer = writer.option("snapshot-property.input_watermark", input_watermark)
-        writer.overwritePartitions()
+        if not self.spark.catalog.tableExists(full):
+            # first commit creates the partitioned table (overwritePartitions
+            # requires an existing table)
+            writer.partitionedBy(F.col(partition_col)).create()
+        else:
+            writer.overwritePartitions()
         return self.current_snapshot(table)
 
     def read(self, table: str) -> DataFrame:
