@@ -105,6 +105,17 @@ _DEFAULT_MAX_CHUNK_ROWS = 2_000_000
 # output is bit-identical to the unsplit output
 _DAY_NESTED_GRAINS = {"minute", "hour", "day"}
 
+# Fixed-µs grain periods (UTC session): date_trunc of these grains equals
+# ts_us - ts_us % period, so the kernel derives the bucket from _ts_us
+# instead of shipping a second 8-byte column across the kernel exchange
+# (~15% of that exchange's row width). week/month stay column-based
+# (week is Monday-anchored, month is irregular).
+_FIXED_GRAIN_US = {
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
 
 def _skew_split_chunk(base: DataFrame, max_chunk_rows: int | None) -> DataFrame:
     """Re-chunk pathological (conv_id, _chunk) groups at UTC day boundaries.
@@ -267,9 +278,14 @@ def rollup_1m(
         if fail_flag_col
         else F.lit(0)
     )
+    grain_us = _FIXED_GRAIN_US.get(_GRAIN[grain])
     base = df.select(
         "conv_id",
-        F.unix_micros(F.date_trunc(_GRAIN[grain], ts)).alias("bucket_us"),
+        *(
+            []
+            if grain_us
+            else [F.unix_micros(F.date_trunc(_GRAIN[grain], ts)).alias("bucket_us")]
+        ),
         F.unix_micros(F.date_trunc(_GRAIN[chunk_grain], ts)).alias("_chunk"),
         F.col("turn_idx"),
         F.unix_micros(ts).alias("_ts_us"),
@@ -283,8 +299,15 @@ def rollup_1m(
         # also orders buckets; bucket boundaries come from one vectorized diff
         conv = tbl.column("conv_id")[0].as_py()
         order = np.argsort(_npcol(tbl, "turn_idx"), kind="stable")
-        buckets = _npcol(tbl, "bucket_us").astype(np.int64, copy=False)[order]
         ts_us = _npcol(tbl, "_ts_us").astype(np.int64, copy=False)[order]
+        # fixed-µs grains derive the bucket in-kernel (== date_trunc in a
+        # UTC session; numpy % is floor-mod so pre-1970 stays correct) —
+        # the 8-byte bucket column never crosses the exchange
+        buckets = (
+            ts_us - ts_us % grain_us
+            if grain_us
+            else _npcol(tbl, "bucket_us").astype(np.int64, copy=False)[order]
+        )
         gaps = _f32col(tbl, "turn_gap_s")[order]  # NULL -> NaN
         tl = _f32col(tbl, "text_len")[order]
         ok = (_npcol(tbl, "_is_fail") != 1)[order]
@@ -515,7 +538,6 @@ def rollup_tiers_fused(
     )
     base = df.select(
         "conv_id",
-        F.unix_micros(F.date_trunc("minute", ts)).alias("bucket_us"),
         F.unix_micros(F.date_trunc(_GRAIN[chunk_grain], ts)).alias("_chunk"),
         F.col("turn_idx"),
         F.unix_micros(ts).alias("_ts_us"),
@@ -527,8 +549,10 @@ def rollup_tiers_fused(
     def kernel(tbl: "pa.Table") -> "pa.Table":
         conv = tbl.column("conv_id")[0].as_py()
         order = np.argsort(_npcol(tbl, "turn_idx"), kind="stable")
-        buckets = _npcol(tbl, "bucket_us").astype(np.int64, copy=False)[order]
         ts_us = _npcol(tbl, "_ts_us").astype(np.int64, copy=False)[order]
+        # minute bucket derived in-kernel (fixed-µs == date_trunc in UTC);
+        # saves an 8-byte column across the kernel exchange
+        buckets = ts_us - ts_us % 60_000_000
         gaps = _f32col(tbl, "turn_gap_s")[order]
         tl = _f32col(tbl, "text_len")[order]
         ok = (_npcol(tbl, "_is_fail") != 1)[order]
