@@ -46,6 +46,7 @@ import json
 import os
 import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 from urllib.parse import unquote
 from datetime import datetime, timezone
 
@@ -179,10 +180,13 @@ class ParquetManifestCatalog:
             shutil.rmtree(sdir, ignore_errors=True)
         df.write.mode("overwrite").partitionBy(partition_col).parquet(sdir)
         wall = time.time() - t0
-        parts = {}
-        for d in sorted(os.listdir(sdir)):
-            if not d.startswith(f"{partition_col}="):
-                continue
+
+        # Per-partition metrics from parquet footers. The reads are
+        # I/O-bound metadata fetches and a commit can touch thousands of
+        # day partitions (heavy-tailed histories), so they run on a thread
+        # pool — sequential footer opens would serialize the commit on
+        # object storage latency.
+        def _part_metrics(d: str):
             # Manifest partition values are stored in Spark's escaped
             # directory-name form (consistent with every path-rebuild and
             # the vacuum reference set); comparisons against real column
@@ -190,7 +194,7 @@ class ParquetManifestCatalog:
             pval = d.split("=", 1)[1]
             pdir = os.path.join(sdir, d)
             files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
-            parts[pval] = {
+            return pval, {
                 "rows": int(sum(
                     pq.ParquetFile(os.path.join(pdir, f)).metadata.num_rows
                     for f in files
@@ -201,6 +205,13 @@ class ParquetManifestCatalog:
                 "wall_s": round(wall, 3),
                 "input_watermark": input_watermark,
             }
+
+        dirs = [
+            d for d in sorted(os.listdir(sdir))
+            if d.startswith(f"{partition_col}=")
+        ]
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            parts = dict(pool.map(_part_metrics, dirs))
         return self._append_snapshot(
             table, _op, parts, input_watermark=input_watermark,
             partition_col=partition_col,
