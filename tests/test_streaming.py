@@ -243,3 +243,43 @@ def test_stream_coarser_tiers_ride_along(spark, stream_dir, tmp_path):
         assert (merged.sum_text_len_s == merged.sum_text_len_b).all(), ctable
         snaps = cat._load_manifest(ctable)["snapshots"]
         assert all(s["input_watermark"].startswith("epoch=") for s in snaps)
+
+
+def test_stream_coarser_tiers_restart_no_dupes(spark, stream_dir, tmp_path):
+    """Restart-from-checkpoint with coarser tables enabled: the second
+    availableNow pass re-processes nothing, and a re-delivered epoch would
+    anti-join away its own rows — all three tables stay duplicate-free and
+    equal to batch."""
+    from olympian_spark.sources.catalog import ParquetManifestCatalog
+    from olympian_spark.streaming.rollup_stream import stream_rollup_to_catalog
+
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "catr"))
+    stream = read_transcripts_stream(spark, stream_dir)
+    agg = streaming_rollup_1m(stream, watermark="0 seconds")
+    coarser = (("r_1h", "hour"), ("r_1d", "day"))
+    for _pass in range(2):
+        q = (
+            stream_rollup_to_catalog(
+                agg, cat, "r_1m", str(tmp_path / "ckr"), coarser=coarser
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    fine = cat.read("r_1m").drop("bucket_date")
+    assert not fine.toPandas().duplicated(["conv_id", "bucket_start"]).any()
+    for ctable, grain in coarser:
+        got = cat.read(ctable).drop("bucket_date").toPandas()
+        assert not got.duplicated(["conv_id", "bucket_start"]).any(), ctable
+        batch = (
+            fine.groupBy(
+                F.date_trunc(grain, "bucket_start").alias("bucket_start"), "conv_id"
+            )
+            .agg(F.sum("n_turns").alias("n_turns"),
+                 F.sum("sum_text_len").alias("sum_text_len"))
+            .toPandas()
+        )
+        merged = got.merge(batch, on=["conv_id", "bucket_start"], suffixes=("_s", "_b"))
+        assert len(merged) == len(got) == len(batch) > 0, ctable
+        assert (merged.n_turns_s == merged.n_turns_b).all(), ctable
