@@ -120,3 +120,23 @@ def test_grid_handles_colocated_and_tiny_extent():
     cand, c2c = idx.neighborhood(0)
     assert np.array_equal(cand, np.arange(n))
     assert np.all(c2c == np.float32(0.0))
+
+
+def test_sct_20k_stations_bounded_time():
+    """SCT at 20k stations (2x the reference's own 10k ceiling): the grid
+    index bounds the neighbour search and checked-propagation bounds the
+    number of solved boxes; one sweep completes in bounded wall time."""
+    n = 20_000
+    rng = np.random.default_rng(99)
+    lats, lons, elevs, values = _random_slice(rng, n, spread_deg=1.0)
+    t0 = time.time()
+    flags = sct(
+        lats, lons, elevs, values,
+        num_min=3, num_max=30, inner_radius=50.0, outer_radius=50.0,
+        num_iterations=1, num_min_prof=10, min_elev_diff=100.0,
+        min_horizontal_scale=10000.0, vertical_scale=200.0,
+        pos=[2.0] * n, neg=[2.0] * n, eps2=[0.5] * n,
+    )
+    wall = time.time() - t0
+    assert len(flags) == n
+    assert wall < 120.0, f"20k-station SCT sweep took {wall:.1f}s"
