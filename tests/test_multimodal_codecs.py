@@ -203,3 +203,24 @@ def test_png_rgba_drops_alpha():
         + chunk(b"IEND", b"")
     )
     assert (decode_png(payload) == rgba[:, :, :3]).all()
+
+
+def test_png_roundtrip_property():
+    """Property: any uint8 RGB image survives encode_png -> decode_png
+    bit-exactly (hypothesis-driven shapes and contents)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, seed):
+        img = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        assert (decode_png(encode_png(img)) == img).all()
+
+    check()
