@@ -174,7 +174,10 @@ def test_compaction_rewrites_fragmented_partitions(spark, tmp_path):
     cat = ParquetManifestCatalog(spark, str(tmp_path / "cp"))
     rows = [("k%d" % i, "2024-01-01", i) for i in range(200)]
     df = spark.createDataFrame(rows, "k string, bucket_date string, v int").repartition(8)
-    s1 = cat.overwrite_partitions("t", df)
+    # distribute=False simulates a writer that pre-shaped its own layout
+    # (the default hash distribution would land each partition as ONE file,
+    # leaving nothing to compact — that behavior is pinned further down)
+    s1 = cat.overwrite_partitions("t", df, distribute=False)
 
     pdir = os.path.join(str(tmp_path / "cp"), "t/data/s1/bucket_date=2024-01-01")
     n_before = sum(1 for f in os.listdir(pdir) if f.endswith(".parquet"))
@@ -224,6 +227,7 @@ def test_schema_evolution_and_sorted_compaction(spark, tmp_path):
     cat.overwrite_partitions(
         "t",
         spark.createDataFrame(rows, "k string, bucket_date string, v int").repartition(6),
+        distribute=False,
     )
     snap = cat.compact_partitions("t", sort_by=["v"])
     assert snap is not None
@@ -343,3 +347,26 @@ def test_refresh_after_retention_does_not_resurrect(spark, tmp_path):
         b = _table_state(cat_full, t)
         b = b[b.bucket_date.astype(str) >= cutoff].reset_index(drop=True)
         assert a.equals(b), f"{t}: post-cutoff content diverged from full recompute"
+
+
+def test_default_distribution_one_file_per_partition(spark, tmp_path):
+    """The default hash distribution writes exactly one file per partition
+    value regardless of upstream task fan-out — the guard against the
+    tasks x days small-file explosion (measured 14k files for 8k day
+    partitions before the fix)."""
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "cd"))
+    rows = [
+        ("k%03d" % i, "2024-01-%02d" % (1 + i % 9), i) for i in range(270)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, bucket_date string, v int"
+    ).repartition(16)  # heavy fan-out upstream
+    cat.overwrite_partitions("t", df)
+    base = os.path.join(str(tmp_path / "cd"), "t/data/s1")
+    for d in sorted(os.listdir(base)):
+        if not d.startswith("bucket_date="):
+            continue
+        n = sum(1 for f in os.listdir(os.path.join(base, d)) if f.endswith(".parquet"))
+        assert n == 1, f"{d}: {n} files"
+    # content survives the redistribution
+    assert cat.read("t").count() == 270
