@@ -370,3 +370,33 @@ def test_default_distribution_one_file_per_partition(spark, tmp_path):
         assert n == 1, f"{d}: {n} files"
     # content survives the redistribution
     assert cat.read("t").count() == 270
+
+
+def test_catalog_supports_coarser_partition_columns(spark, tmp_path):
+    """Sparse multi-decade histories want coarser partitions than a day —
+    the catalog's partition_col is per-commit, so a month-partitioned tier
+    table gets the same overwrite/retention semantics (the knob
+    BENCH/BASELINE.md R4.4 points to)."""
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "cm"))
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-15", 1),
+            ("b", "2024-02-03", 2),
+            ("c", "2024-03-20", 3),
+        ],
+        "k string, d string, v int",
+    ).withColumn(
+        "bucket_month",
+        F.date_format(F.date_trunc("month", F.col("d").cast("date")), "yyyy-MM"),
+    )
+    cat.overwrite_partitions("t", df, partition_col="bucket_month")
+    assert cat.read("t").count() == 3
+    # partition-isolated second commit
+    df2 = df.filter("k = 'b'").withColumn("v", F.lit(99))
+    cat.overwrite_partitions("t", df2, partition_col="bucket_month")
+    got = {(r.k, r.v) for r in cat.read("t").collect()}
+    assert got == {("a", 1), ("b", 99), ("c", 3)}
+    # metadata-only retention on the month column
+    cat.delete_where_older("t", "2024-02", partition_col="bucket_month")
+    got = {r.k for r in cat.read("t").collect()}
+    assert got == {"b", "c"}
