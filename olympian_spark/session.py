@@ -74,9 +74,12 @@ def get_spark(
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # grouped kernels stream per-group Arrow batches; 10k rows/batch keeps
-        # python worker memory flat even for hot groups
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # grouped kernels stream per-group Arrow batches. 64k rows/batch
+        # measured 1.08x (32 cores) / 1.15x (8 cores) over 10k on the fused
+        # tier kernel at 16M turns (BENCH/arrowbatch_spike.py) — fewer IPC
+        # round-trips per group; ~3MB per in-flight batch keeps worker
+        # memory flat even for hot groups
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
