@@ -143,7 +143,11 @@ def _skew_split_chunk(base: DataFrame, max_chunk_rows: int | None) -> DataFrame:
         .filter(F.col("_n") > max_chunk_rows)
         .select("conv_id", "_chunk", F.lit(True).alias("_hot"))
     )
-    day_of_row = F.col("_ts_us") - F.col("_ts_us") % F.lit(_DAY_US)
+    # pmod (floor-mod) — NOT `%` (sign-of-dividend): for pre-epoch
+    # timestamps the split boundary must match the kernel's numpy floor-mod
+    # day truncation, or one UTC day's rows straddle two split keys and a
+    # day-nested bucket is emitted from two kernel groups (duplicate rows).
+    day_of_row = F.col("_ts_us") - F.pmod(F.col("_ts_us"), F.lit(_DAY_US))
     return (
         base.join(F.broadcast(hot), ["conv_id", "_chunk"], "left")
         .withColumn(

@@ -97,27 +97,48 @@ def with_lsh_bucket(
     return df.withColumn("lsh_bucket", bucket)
 
 
+# resolution of the hash-threshold cap: keep-probability granularity is
+# 1/_CAP_MOD, so a cap of 10^5 over a 10^9-row bucket is representable
+_CAP_MOD = 1 << 30
+
+
 def _cap_bucket_membership(
     c: DataFrame, max_bucket_size: int | None, bucket_col: str = "lsh_bucket"
 ) -> DataFrame:
-    """Bound each LSH bucket to ``max_bucket_size`` members.
+    """Bound each LSH bucket to ~``max_bucket_size`` members, shuffle-free.
 
     2^n_planes buckets over a 10^9-vector corpus average ~250k members, so
     any in-bucket join is quadratic on a hot bucket unless membership is
-    bounded. Keep a deterministic (seeded by xxhash64 of the id) size-capped
-    subset per bucket; the per-bucket sort is O(m log m) in one task, never
-    quadratic. Recall on over-cap buckets degrades gracefully and the cap is
-    a knob; pass None to disable (small corpora / tests).
+    bounded. A per-bucket ``row_number`` window would serialize a degenerate
+    hot bucket (hyperplane collapse: many identical/zero vectors) into ONE
+    task's external sort of up to the whole corpus — the straggler shape
+    this function exists to remove. Instead: a map-side-combined bucket
+    count (the shuffle moves one row per DISTINCT bucket — at most
+    2^n_planes × n_tables rows), filtered to over-cap buckets (bounded by
+    total_rows / cap keys, so it broadcasts), then each row is kept iff
+    ``pmod(xxhash64(bucket, vec_id), M) < M·cap/size`` — O(1) per row, no
+    window, no per-bucket sort. The kept subset is deterministic for a
+    given corpus and ≈cap-sized (binomial: each member kept independently
+    with p = cap/size). Hashing (bucket, id) — not id alone — keeps the
+    subsets independent across the buckets/tables a vector belongs to.
+    Recall on over-cap buckets degrades gracefully and the cap is a knob;
+    pass None to disable (small corpora / exact-oracle tests).
     """
     if not max_bucket_size:
         return c
-    w = Window.partitionBy(bucket_col).orderBy(
-        F.xxhash64(F.col("vec_id")), F.col("vec_id")
+    hot = (
+        c.groupBy(bucket_col)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket_size)
     )
+    thresh = (F.lit(float(_CAP_MOD * max_bucket_size)) / F.col("_bsz")).cast("long")
     return (
-        c.withColumn("_br", F.row_number().over(w))
-        .filter(F.col("_br") <= max_bucket_size)
-        .drop("_br")
+        c.join(F.broadcast(hot), bucket_col, "left")
+        .filter(
+            F.col("_bsz").isNull()
+            | (F.pmod(F.xxhash64(F.col(bucket_col), F.col("vec_id")), F.lit(_CAP_MOD)) < thresh)
+        )
+        .drop("_bsz")
     )
 
 
@@ -207,7 +228,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = 100_000,
-    n_tables: int = 1,
+    n_tables: int = 4,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket or any
     bucket within ``multiprobe_bits`` bit-flips, in ANY of ``n_tables``
@@ -219,7 +240,9 @@ def lsh_ann_topk(
     hyperplane is lost), while L independent tables miss only pairs
     separated in EVERY table — recall 1-(1-p)^L for per-table collision
     probability p, at the storage cost of L corpus replications (classic
-    multi-table LSH; property-tested in test_text_ops).
+    multi-table LSH; property-tested in test_text_ops). The DEFAULT is the
+    scale-safe 4; pass ``n_tables=1`` explicitly for single-table behaviour
+    (cheaper candidate generation on small corpora).
 
     ``max_bucket_size`` bounds corpus-side membership per (table, bucket)
     (see :func:`_cap_bucket_membership`) so a hot bucket contributes at most
@@ -301,6 +324,7 @@ def ivf_ann_topk(
     centroids: "np.ndarray | None" = None,
     sample_fraction: float = 1.0,
     sample_rows: int = 100_000,
+    max_list_size: int | None = 100_000,
     seed: int = 13,
 ) -> DataFrame:
     """Approximate top-k via IVF coarse quantization: every corpus vector
@@ -316,6 +340,14 @@ def ivf_ann_topk(
     into a few hot buckets) stay balanced. Pass a precomputed
     ``centroids`` matrix to share one codebook across jobs (and to keep
     the operator deterministic under retraining).
+
+    ``max_list_size`` bounds corpus-side membership per inverted list with
+    the same shuffle-free hash-threshold subset as the LSH path
+    (:func:`_cap_bucket_membership`): a tightly clustered corpus can put a
+    large corpus fraction into one list, and every query probing that list
+    would fan out accordingly. Over-cap lists contribute a deterministic
+    ≈cap-sized subset of candidates; pass None to disable (exact within
+    probed lists — small corpora / tests).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -349,6 +381,7 @@ def ivf_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
     ).withColumn("list_id", assign(F.col("cv")))
+    c = _cap_bucket_membership(c, max_list_size, bucket_col="list_id")
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .withColumn("list_id", F.explode(probes(F.col("qv"))))

@@ -385,3 +385,25 @@ def test_skew_split_bounds_groups_and_is_bit_identical(spark):
             assert (
                 (a[col].isna() & b[col].isna()) | (a[col] == b[col])
             ).all(), f"col {col} mismatch under skew split"
+
+
+def test_skew_split_pre_epoch_uses_floor_mod_day_keys(spark):
+    """Pre-1970 timestamps in a hot chunk must split at FLOOR day
+    boundaries (numpy floor-mod, the kernel's rule — see rollup kernel's
+    pre-1970 bucket fix): with Spark's sign-of-dividend `%`, a negative
+    _ts_us maps to the NEXT day's key unless it sits exactly on midnight,
+    so one UTC day's rows would land in two kernel groups and a day-nested
+    output bucket would be emitted twice."""
+    from olympian_spark.operators.rollup import _DAY_US, _skew_split_chunk
+
+    # one hot (conv, chunk) group spanning pre-epoch days -2 and -1
+    start = -(3 * _DAY_US) // 2  # -1.5 days
+    rows = [("c0", -2 * _DAY_US, start + i * (_DAY_US // 10)) for i in range(10)]
+    base = spark.createDataFrame(rows, "conv_id string, _chunk long, _ts_us long")
+    got = _skew_split_chunk(base, max_chunk_rows=5).collect()
+    assert len(got) == 10
+    for r in got:
+        assert r._chunk == r._ts_us - r._ts_us % _DAY_US, (  # Python % IS floor-mod
+            f"ts {r._ts_us}: got day key {r._chunk}"
+        )
+    assert {r._chunk for r in got} == {-2 * _DAY_US, -1 * _DAY_US}
