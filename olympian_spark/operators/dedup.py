@@ -71,11 +71,16 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_doc_freq: int | None = 1000,
 ) -> DataFrame:
-    """Exact shingle-Jaccard near-dup pairs (doc_a < doc_b).
+    """Shingle-Jaccard near-dup pairs (doc_a < doc_b) — exact over the
+    full shingle universe when ``max_doc_freq=None``, capped-universe by
+    default (stop-shingles dropped; see below).
 
     Output: (doc_a, doc_b, n_common, n_a, n_b) with
     jaccard = n_common / (n_a + n_b - n_common) >= threshold. Counts are
-    integers -> cross-engine exact.
+    integers -> cross-engine exact (over whichever shingle universe was
+    used). The applied cap is recorded in the ``n_common`` column's
+    metadata (``{"max_doc_freq": cap}``) so downstream consumers can
+    detect capped/approximate results without threading the parameter.
 
     ``max_doc_freq`` caps how many documents may share a shingle before it
     is dropped as a stop-shingle: the self-join on shingle produces
@@ -106,7 +111,10 @@ def ngram_jaccard_pairs(
             >= F.lit(threshold) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
         )
     )
-    return out.select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+    out = out.select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+    if max_doc_freq:
+        out = out.withMetadata("n_common", {"max_doc_freq": max_doc_freq})
+    return out
 
 
 # deterministic MinHash permutation parameters (public textbook scheme:

@@ -67,6 +67,7 @@ def build_tiers(
     persist: bool | str = True,
     fused: bool = True,
     max_chunk_rows: int | None = _DEFAULT_MAX_CHUNK_ROWS,
+    chunk_grain: str = "week",
 ) -> dict[str, DataFrame]:
     """All tier tables from a transcripts DataFrame.
 
@@ -84,6 +85,13 @@ def build_tiers(
     materialization barriers. ``fused=False`` keeps the explicit
     1m -> 1h -> 1d cascade (the partial+final decomposition path, still
     what incremental per-tier refresh of ONLY a coarse tier would use).
+
+    ``chunk_grain`` / ``max_chunk_rows`` tune the kernel skew guard without
+    dropping to rollup.py internals: ``chunk_grain`` sets the per-kernel
+    group span (default "week" — one (conv, week) group per kernel call;
+    "day" for chatty-conversation corpora where even a week is hot), and
+    ``max_chunk_rows`` bounds group size before day-aligned re-chunking
+    kicks in (None disables the guard — only for bounded test inputs).
     """
     flagged = qc_flags(df, params)
 
@@ -119,7 +127,8 @@ def build_tiers(
         # slim has a single consumer (the fused kernel) -> no cache for it
         tagged = mat(
             rollup_tiers_fused(
-                slim, fail_flag_col="flag_dip", max_chunk_rows=max_chunk_rows
+                slim, fail_flag_col="flag_dip", max_chunk_rows=max_chunk_rows,
+                chunk_grain=chunk_grain,
             )
         )
         t1m = tagged.filter("_grain = 0").drop("_grain")
@@ -127,10 +136,13 @@ def build_tiers(
         t1d = tagged.filter("_grain = 2").drop("_grain")
     else:
         t1m = mat(
-            rollup_1m(slim, fail_flag_col="flag_dip", max_chunk_rows=max_chunk_rows)
+            rollup_1m(
+                slim, fail_flag_col="flag_dip", max_chunk_rows=max_chunk_rows,
+                chunk_grain=chunk_grain,
+            )
         )
-        t1h = mat(rollup_coarser(t1m, "hour"))
-        t1d = rollup_coarser(t1h, "day")
+        t1h = mat(rollup_coarser(t1m, "hour", chunk_grain=chunk_grain))
+        t1d = rollup_coarser(t1h, "day", chunk_grain=chunk_grain)
     # dimension rollups stay one-groupBy-per-dimension over the pre-window
     # cache: map-side partial aggregation collapses each task to
     # (bucket x dim) partials, so their own shuffles are tiny; the fused

@@ -40,6 +40,12 @@ def read_transcripts_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(path)
 
 
+# measures the coarser ride-along may re-aggregate by SUM (the streaming
+# 1m schema); anything else — batch-tier means/p95/gorilla blocks — must
+# go through the partial+final batch refresh instead
+_SUM_DECOMPOSABLE = frozenset({"n_turns", "sum_text_len"})
+
+
 def streaming_rollup_1m(
     stream: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:
@@ -165,11 +171,30 @@ def stream_rollup_to_catalog(
     anti-join-then-overwrite pattern — a streaming deployment gets 1h/1d
     freshness at finalized-1m latency instead of waiting for the batch
     refresh. Cost per epoch stays bound by the touched days, not table
-    size.
+    size. The ride-along re-aggregates by SUM, which is only correct for
+    sum-decomposable measures — the streaming 1m schema's counts and sums.
+    Non-decomposable columns (means, quantiles, Gorilla blocks — the BATCH
+    tier schema) are rejected at wiring time rather than silently summed
+    into wrong coarse values.
     """
     from pyspark.sql import functions as F
 
     from olympian_spark.sources.catalog import with_bucket_date
+
+    if coarser:
+        bad = [
+            c
+            for c in rollup.columns
+            if c not in ("conv_id", "bucket_start", "bucket_date")
+            and c not in _SUM_DECOMPOSABLE
+        ]
+        if bad:
+            raise ValueError(
+                f"coarser ride-along only supports sum-decomposable measures "
+                f"{sorted(_SUM_DECOMPOSABLE)}; input carries {bad} — wire these "
+                f"tiers through the batch refresh (partial+final decomposition) "
+                f"instead of the streaming SUM ride-along"
+            )
 
     def commit(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

@@ -407,3 +407,26 @@ def test_skew_split_pre_epoch_uses_floor_mod_day_keys(spark):
             f"ts {r._ts_us}: got day key {r._chunk}"
         )
     assert {r._chunk for r in got} == {-2 * _DAY_US, -1 * _DAY_US}
+
+
+def test_build_tiers_chunk_grain_passthrough_bit_identical(spark):
+    """build_tiers(chunk_grain="day") must produce bit-identical tiers to
+    the default week chunking (day-nested output buckets never straddle a
+    chunk boundary in either grain) — the pipeline-level knob the skew
+    guard exposes for chatty-conversation corpora."""
+    pdf = gen_transcripts(n_turns=8_000, n_convs=30, seed=9).to_pandas()
+    df = spark.createDataFrame(pdf)
+    a = build_tiers(df, PARAMS, persist=False)
+    b = build_tiers(df, PARAMS, persist=False, chunk_grain="day", max_chunk_rows=500)
+    for tier in ("tier_1m", "tier_1h", "tier_1d"):
+        pa_ = a[tier].orderBy("conv_id", "bucket_start").toPandas()
+        pb_ = b[tier].orderBy("conv_id", "bucket_start").toPandas()
+        assert len(pa_) == len(pb_) > 0, tier
+        for col in pa_.columns:
+            av, bv = pa_[col].to_numpy(), pb_[col].to_numpy()
+            if av.dtype == np.float32:
+                assert (av.view(np.uint32) == bv.view(np.uint32)).all(), (tier, col)
+            else:
+                assert (
+                    (pa_[col].isna() & pb_[col].isna()) | (pa_[col] == pb_[col])
+                ).all(), (tier, col)

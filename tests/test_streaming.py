@@ -283,3 +283,27 @@ def test_stream_coarser_tiers_restart_no_dupes(spark, stream_dir, tmp_path):
         merged = got.merge(batch, on=["conv_id", "bucket_start"], suffixes=("_s", "_b"))
         assert len(merged) == len(got) == len(batch) > 0, ctable
         assert (merged.n_turns_s == merged.n_turns_b).all(), ctable
+
+
+def test_coarser_ride_along_rejects_non_decomposable_measures(spark, tmp_path):
+    """Wiring the coarser ride-along to a frame carrying batch-tier
+    columns (means/p95 — not sum-decomposable) must raise at wiring time,
+    not silently SUM them into wrong coarse values."""
+    from olympian_spark.sources.catalog import ParquetManifestCatalog
+    from olympian_spark.streaming.rollup_stream import stream_rollup_to_catalog
+
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "wh"))
+    bad = (
+        spark.readStream.format("rate").load()
+        .selectExpr(
+            "'c0' AS conv_id",
+            "timestamp AS bucket_start",
+            "value AS n_turns",
+            "CAST(value AS float) AS mean_gap",  # batch-tier, not decomposable
+        )
+    )
+    with pytest.raises(ValueError, match="sum-decomposable"):
+        stream_rollup_to_catalog(
+            bad, cat, "tier_1m_s", str(tmp_path / "ck"),
+            coarser=(("tier_1h_s", "hour"),),
+        )
