@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Real pure-numpy decoders — PPM (P6), uncompressed 24-bit BMP, and 8-bit
-RGB/RGBA PNG (stdlib zlib inflate + numpy scanline unfiltering) images,
-16-bit PCM WAV audio — feed genuine pixel/sample feature extraction.
-Codecs that genuinely need external libraries (h264/flac/jpeg) raise
-NotImplementedError from ``decode_image`` / ``decode_audio``, and the
-pipeline falls back to a deterministic keyed-hash feature so the
-distributed dataflow still executes end to end for every row.
+Real pure-numpy decoders — PPM (P6), uncompressed 24-bit BMP, 8-bit
+RGB/RGBA PNG (stdlib zlib inflate + numpy scanline unfiltering) and
+baseline-sequential JPEG (stream-defined Huffman + vectorized IDCT,
+functions/jpeg.py) images, 16-bit PCM WAV audio — feed genuine
+pixel/sample feature extraction. Codecs that genuinely need external
+libraries (h264/flac, progressive jpeg) raise NotImplementedError from
+``decode_image`` / ``decode_audio``, and the pipeline falls back to a
+deterministic keyed-hash feature so the distributed dataflow still
+executes end to end for every row.
 
 Schema convention:
 
@@ -267,8 +269,9 @@ def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes, meta: dict) -> "np.ndarray":
-    """(h, w, 3) uint8. Real pure-numpy decode for ppm, bmp and png
-    (stdlib zlib); jpeg/webp/... need PIL/opencv, absent here."""
+    """(h, w, 3) uint8. Real pure-numpy decode for ppm, bmp, png (stdlib
+    zlib) and baseline-sequential jpeg (functions/jpeg.py); progressive
+    jpeg and webp/... still need PIL/opencv, absent here."""
     codec = (meta or {}).get("codec")
     if codec == "ppm" or payload[:2] == b"P6":
         return decode_ppm(payload)
@@ -276,6 +279,10 @@ def decode_image(payload: bytes, meta: dict) -> "np.ndarray":
         return decode_bmp24(payload)
     if codec == "png" or payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if codec == "jpeg" or payload[:2] == b"\xff\xd8":
+        from olympian_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)  # raises NotImplementedError if SOF2+
     raise NotImplementedError(f"image codec {codec!r} needs PIL/opencv")
 
 
@@ -389,12 +396,21 @@ def gen_fake_media(
                 ],
                 axis=2,
             ).astype(np.uint8)
-            codec = ("ppm", "bmp", "png")[(i // 3) % 3]
-            payload = {
-                "ppm": encode_ppm,
-                "bmp": encode_bmp24,
-                "png": encode_png,
-            }[codec](img)
+            codec = ("ppm", "bmp", "png", "jpeg")[(i // 3) % 4]
+            if codec == "jpeg":
+                from olympian_spark.functions.jpeg import encode_jpeg
+
+                # alternate subsampling so both decode paths are exercised
+                payload = encode_jpeg(
+                    img, quality=90,
+                    subsampling=("4:4:4", "4:2:0")[(i // 12) % 2],
+                )
+            else:
+                payload = {
+                    "ppm": encode_ppm,
+                    "bmp": encode_bmp24,
+                    "png": encode_png,
+                }[codec](img)
             meta = (w, h, None, codec)
             truth = (int(img.sum(dtype=np.int64)), w, h, None, len(payload))
         elif kind == "audio":
@@ -492,10 +508,22 @@ def decode_verify(df: DataFrame) -> DataFrame:
                 try:
                     if kind == "image":
                         img = decode_image(bytes(p), {"codec": codec})
-                        ok[i] = (
-                            img.shape == (t["h"], t["w"], 3)
-                            and int(img.sum(dtype=np.int64)) == t["content_sum"]
-                        )
+                        if codec == "jpeg":
+                            # lossy codec: shape must be exact; the decoded
+                            # pixel sum must sit within a per-sample error
+                            # budget of the PRE-encoding truth (measured
+                            # worst case at q90 is ~0.3/sample; a wrong
+                            # decode is off by tens per sample)
+                            ok[i] = (
+                                img.shape == (t["h"], t["w"], 3)
+                                and abs(int(img.sum(dtype=np.int64)) - t["content_sum"])
+                                <= 2 * img.size
+                            )
+                        else:
+                            ok[i] = (
+                                img.shape == (t["h"], t["w"], 3)
+                                and int(img.sum(dtype=np.int64)) == t["content_sum"]
+                            )
                     elif kind == "audio":
                         samples, _rate = decode_audio(bytes(p), {"codec": codec})
                         pcm = np.round(samples.astype(np.float64) * 32768.0)

@@ -81,8 +81,9 @@ def test_decode_dispatch_and_fallback():
     s, r = decode_audio(encode_wav_pcm16(np.zeros(8, np.float32)), {})
     assert r == 16_000 and s.shape == (8,)
     assert decode_image(encode_png(img), {}).shape == (4, 4, 3)
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8jpeg...", {"codec": "jpeg"})
+    from olympian_spark.functions.jpeg import encode_jpeg
+
+    assert decode_image(encode_jpeg(img), {}).shape == (4, 4, 3)
     with pytest.raises(NotImplementedError):
         decode_audio(b"fLaC....", {"codec": "flac"})
 
@@ -224,3 +225,88 @@ def test_png_roundtrip_property():
         assert (decode_png(encode_png(img)) == img).all()
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_solid_color_exact():
+    """A solid block is DC-only: quantized DC reconstructs the level
+    exactly at any quality — ground truth independent of the encoder."""
+    from olympian_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    for level in (0, 64, 128, 200, 255):
+        img = np.full((16, 16, 3), level, np.uint8)
+        for sub in ("4:4:4", "4:2:0"):
+            out = decode_jpeg(encode_jpeg(img, quality=75, subsampling=sub))
+            assert out.shape == img.shape
+            assert int(np.abs(out.astype(int) - int(level)).max()) <= 1, (
+                level, sub,
+            )
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (7, 5), (16, 16), (37, 23), (48, 64)])
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+def test_jpeg_roundtrip_error_bounded(h, w, sub):
+    """Smooth-gradient roundtrip at q90 must stay within a tight error
+    budget (the codec is lossy by design; a broken huffman/IDCT/zigzag
+    stage is off by tens to hundreds per pixel)."""
+    from olympian_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            xx * 255 // max(w - 1, 1),
+            yy * 255 // max(h - 1, 1),
+            (xx + yy) * 255 // max(h + w - 2, 1),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    # 4:2:0 halves chroma resolution: on a steep gradient the replication
+    # upsample alone costs several counts per pixel — a looser (but still
+    # broken-stage-detecting) budget than full-resolution 4:4:4
+    assert err.mean() < (6.0 if sub == "4:4:4" else 11.0), (sub, err.mean())
+
+
+def test_jpeg_noise_roundtrip_and_quality_order():
+    """Noise is the worst case for DCT coding: error must still be bounded
+    at q90, and lower quality must not produce a larger file."""
+    from olympian_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    p90 = encode_jpeg(img, quality=90, subsampling="4:4:4")
+    p30 = encode_jpeg(img, quality=30, subsampling="4:4:4")
+    assert len(p30) < len(p90)
+    err = np.abs(decode_jpeg(p90).astype(int) - img.astype(int))
+    assert err.mean() < 12.0 and err.max() < 64
+
+
+def test_jpeg_progressive_and_garbage_rejected():
+    from olympian_spark.functions.jpeg import decode_jpeg
+
+    import struct as _s
+
+    # SOI + minimal SOF2 segment -> progressive, explicitly unsupported
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + _s.pack(">H", 8) + b"\x08\x00\x10\x00\x10\x01"
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof2)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+
+
+def test_jpeg_decoder_honours_stream_tables():
+    """The decoder must use the DQT/DHT tables FROM THE STREAM, not the
+    encoder's constants: re-encode with a different quality (different
+    quantization tables in DQT) and decode each correctly."""
+    from olympian_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8, 3), 77, np.uint8)
+    for q in (25, 55, 95):
+        out = decode_jpeg(encode_jpeg(img, quality=q, subsampling="4:4:4"))
+        assert int(np.abs(out.astype(int) - 77).max()) <= 2, q
