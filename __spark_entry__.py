@@ -1098,6 +1098,37 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, driver-checkable via planted exact
+    duplicates: vec_id < 20 are duplicated at id+1_000_000 with IDENTICAL
+    vectors. Identical vectors land on the same side of every hyperplane,
+    so the LSH-bucketed operator (bucketing + salting + exact cosine
+    verify — the real engine path) must recover exactly those 20 pairs at
+    threshold 0.999: random 64-dim embeddings have cos ~ N(0, 1/8), so
+    natural >=0.999 pairs do not occur, and the result keyspace is closed
+    form for the DuckDB oracle."""
+    from olympian_spark.operators.similarity import embedding_near_dup_pairs
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dups = emb.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    aug = emb.unionByName(dups)
+    pairs = embedding_near_dup_pairs(aug, dim=64, threshold=0.999)
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cos_sim", 3).alias("cos_sim")
+    )
+
+
+_NEARDUP_DUCK = """
+SELECT CAST(vec_id AS BIGINT) AS vec_a,
+       CAST(vec_id + 1000000 AS BIGINT) AS vec_b,
+       CAST(1.0 AS DOUBLE) AS cos_sim
+FROM embeddings WHERE vec_id < 20
+"""
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + features, driver-checkable: ``decode_ok`` is a
     genuine encode->decode roundtrip against generation-time ground truth
@@ -1173,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q34_ann_lsh_topk"] = q_ann_lsh
     out["q39_ann_ivf_topk"] = q_ann_ivf
     out["q35_multimodal_features"] = q_multimodal
+    out["q40_embedding_near_dup"] = q_embedding_near_dup
     return out
 
 
@@ -1196,4 +1228,7 @@ def oracle_sql() -> dict[str, str]:
     out["q32_minhash_lsh_pairs"] = _MINHASH_DUCK
     out["q33_simhash_pairs"] = _SIMHASH_DUCK
     out["q35_multimodal_features"] = _MULTIMODAL_DUCK
+    # q40 — planted-exact-duplicate keyspace is closed form (identical
+    # vectors share every LSH bucket deterministically)
+    out["q40_embedding_near_dup"] = _NEARDUP_DUCK
     return out

@@ -469,6 +469,13 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                     # codec needs an external library: deterministic
                     # keyed-hash fallback keeps the dataflow total
                     feats[i] = _fake_features([p], dim)[0]
+                except Exception:
+                    # corrupt payload (truncated header, bad entropy data,
+                    # ...): at 100 TB one bad row must NOT kill the job —
+                    # degrade to the deterministic fallback feature; data
+                    # quality surfacing is decode_verify's job, which
+                    # reports decode_ok=False for exactly these rows
+                    feats[i] = _fake_features([p], dim)[0]
             yield pa.record_batch(
                 {
                     "media_id": ids,

@@ -421,3 +421,26 @@ def test_ivf_hot_list_candidates_capped(spark):
     # (binomial(400, 0.05): mean 20, std ~4.4 — 40 is a >4σ bound)
     assert (out.groupby("query_id").size() == 5).all()
     assert out.vec_id.nunique() <= 40
+
+
+def test_extract_features_survives_corrupt_payload(spark):
+    """A corrupt payload must not kill the job (at 100 TB one bad row is a
+    certainty): extract_features degrades to the deterministic keyed-hash
+    fallback; decode_verify is the operator that surfaces the corruption."""
+    from olympian_spark.functions.jpeg import encode_jpeg
+
+    good = encode_jpeg(np.full((8, 8, 3), 90, np.uint8))
+    rows = [
+        (0, "image", bytearray(good), (8, 8, None, "jpeg")),
+        # truncated mid-entropy-stream and garbage-after-SOI payloads
+        (1, "image", bytearray(good[: len(good) // 2]), (8, 8, None, "jpeg")),
+        (2, "image", bytearray(b"\xff\xd8\x00garbage"), (8, 8, None, "jpeg")),
+        (3, "image", bytearray(b"P6\n bad ppm"), (8, 8, None, "ppm")),
+    ]
+    from olympian_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features(df).collect()
+    assert len(out) == 4
+    for r in out:
+        assert len(r.feature) == 16 and all(0.0 <= x < 1.0 for x in r.feature)
