@@ -310,3 +310,59 @@ def test_jpeg_decoder_honours_stream_tables():
     for q in (25, 55, 95):
         out = decode_jpeg(encode_jpeg(img, quality=q, subsampling="4:4:4"))
         assert int(np.abs(out.astype(int) - 77).max()) <= 2, q
+
+
+def test_jpeg_roundtrip_property():
+    """Property: any uint8 RGB image encodes and decodes with shape
+    preserved and mean error inside the lossy budget, both subsamplings
+    (hypothesis-driven shapes and contents)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from olympian_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+        sub=st.sampled_from(["4:4:4", "4:2:0"]),
+    )
+    def check(h, w, seed, sub):
+        rng = np.random.default_rng(seed)
+        # smooth-ish content (random noise has no error bound worth
+        # asserting tightly; the dedicated noise test covers it)
+        base = rng.integers(0, 256, 3)
+        ramp = np.linspace(0, rng.integers(1, 128), w)
+        img = np.clip(
+            base[None, None, :] + ramp[None, :, None], 0, 255
+        ).astype(np.uint8) * np.ones((h, 1, 1), np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+        assert out.shape == (h, w, 3)
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.mean() < 12.0, (h, w, sub, err.mean())
+
+    check()
+
+
+def test_jpeg_decoder_never_hangs_on_fuzz():
+    """Property: arbitrary bytes (including SOI-prefixed garbage) either
+    decode or raise — bounded time, no hang, no silent wrong-shape."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from olympian_spark.functions.jpeg import decode_jpeg
+
+    @settings(max_examples=60, deadline=None)
+    @given(body=st.binary(min_size=0, max_size=400), soi=st.booleans())
+    def check(body, soi):
+        payload = (b"\xff\xd8" + body) if soi else body
+        try:
+            out = decode_jpeg(payload)
+            assert out.ndim == 3 and out.shape[2] == 3
+        except (ValueError, NotImplementedError, struct.error, IndexError, KeyError):
+            pass
+
+    import struct
+
+    check()
