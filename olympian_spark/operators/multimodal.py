@@ -3,9 +3,11 @@
 Real pure-numpy decoders — PPM (P6), uncompressed 24-bit BMP, 8-bit
 RGB/RGBA PNG (stdlib zlib inflate + numpy scanline unfiltering) and
 baseline-sequential JPEG (stream-defined Huffman + vectorized IDCT,
-functions/jpeg.py) images, 16-bit PCM WAV audio — feed genuine
-pixel/sample feature extraction. Codecs that genuinely need external
-libraries (h264/flac, progressive jpeg) raise NotImplementedError from
+functions/jpeg.py) images, 16-bit PCM WAV and FLAC (Rice-coded fixed
+predictors + CRC + MD5 verification, functions/flac.py) audio — feed
+genuine pixel/sample feature extraction. Codecs that genuinely need
+external libraries (h264, mp3/ogg, progressive jpeg) raise
+NotImplementedError from
 ``decode_image`` / ``decode_audio``, and the pipeline falls back to a
 deterministic keyed-hash feature so the distributed dataflow still
 executes end to end for every row.
@@ -287,12 +289,29 @@ def decode_image(payload: bytes, meta: dict) -> "np.ndarray":
 
 
 def decode_audio(payload: bytes, meta: dict) -> tuple["np.ndarray", int]:
-    """(float32 mono samples, rate). Real decode for PCM WAV; compressed
-    codecs need soundfile/ffmpeg, absent in this container."""
+    """(float32 mono samples, rate). Real decode for PCM WAV and FLAC
+    (functions/flac.py, pure numpy + stdlib); mp3/ogg/aac need
+    soundfile/ffmpeg, absent in this container."""
     codec = (meta or {}).get("codec")
     if codec == "wav" or payload[:4] == b"RIFF":
         return decode_wav_pcm16(payload)
+    if codec == "flac" or payload[:4] == b"fLaC":
+        from olympian_spark.functions.flac import decode_flac
+
+        return decode_flac(payload)
     raise NotImplementedError(f"audio codec {codec!r} needs soundfile/ffmpeg")
+
+
+def decode_video(payload: bytes, meta: dict) -> tuple["np.ndarray", float]:
+    """((n, h, w, 3) uint8 frames, fps). Real decode for MJPEG-in-AVI
+    (functions/mjpeg.py, pure numpy + stdlib container walk + the baseline
+    JPEG decoder per frame); h264/vp9/... need ffmpeg, absent here."""
+    codec = (meta or {}).get("codec")
+    if codec == "mjpeg" or (payload[:4] == b"RIFF" and payload[8:12] == b"AVI "):
+        from olympian_spark.functions.mjpeg import decode_avi_mjpeg
+
+        return decode_avi_mjpeg(payload)
+    raise NotImplementedError(f"video codec {codec!r} needs ffmpeg")
 
 
 def image_features(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -344,6 +363,26 @@ def audio_features(samples: np.ndarray, rate: int, dim: int = FEATURE_DIM) -> np
     return np.maximum(np.minimum(f, np.float32(1.0 - 1e-6)), np.float32(0.0))
 
 
+def video_features(
+    frames: np.ndarray, fps: float, dim: int = FEATURE_DIM
+) -> np.ndarray:
+    """16 deterministic floats in [0, 1): the mean of per-frame
+    :func:`image_features` (spatial content) with the last two slots
+    re-purposed for temporal signal — frame count and mean inter-frame
+    pixel change."""
+    n = frames.shape[0]
+    f = np.mean([image_features(fr, dim) for fr in frames], axis=0).astype(
+        np.float32
+    )
+    f[dim - 2] = min(n / 10_000.0, 0.999)
+    if n > 1:
+        motion = np.abs(np.diff(frames.astype(np.int16), axis=0)).mean() / 256.0
+        f[dim - 1] = min(float(motion), 0.999)
+    else:
+        f[dim - 1] = 0.0
+    return np.minimum(f, np.float32(1.0 - 1e-6))
+
+
 def _fake_features(payloads: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in feature extractor: a keyed hash of the payload
     bytes expanded to `dim` floats in [0,1). Replace with a real decoder +
@@ -370,10 +409,12 @@ def gen_fake_media(
     spark: SparkSession, n: int = 200, seed: int = 5, with_truth: bool = False
 ) -> DataFrame:
     """Deterministic synthetic media table. Images are REAL PPM/BMP payloads
-    (gradient + seeded noise pixels), audio is REAL PCM-16 WAV (two sines +
-    noise) — both decode through the pure-numpy codecs above. Videos stay
+    (gradient + seeded noise pixels) cycling ppm/bmp/png/jpeg, audio is
+    REAL PCM-16 audio (two sines + noise) alternating WAV and FLAC, and
+    half the videos are REAL MJPEG-in-AVI frame stacks — all decode
+    through the pure-numpy codecs. The other half of the videos stay
     opaque h264 bytes: that codec genuinely needs ffmpeg, exercising the
-    fallback path.
+    keyed-hash fallback path.
 
     ``with_truth`` adds a ``truth`` struct recorded from the PRE-encoding
     arrays (pixel sum / quantized-sample sum / dimensions / payload bytes):
@@ -423,13 +464,41 @@ def gen_fake_media(
                 + 0.2 * np.sin(2 * np.pi * f2 * t)
                 + 0.05 * rng.standard_normal(t.size)
             ).astype(np.float32)
-            payload = encode_wav_pcm16(s, rate)
-            meta = (None, None, int(dur * 1000), "wav")
+            codec = ("wav", "flac")[(i // 3) % 2]
+            if codec == "flac":
+                from olympian_spark.functions.flac import encode_flac
+
+                payload = encode_flac(s, rate)
+            else:
+                payload = encode_wav_pcm16(s, rate)
+            meta = (None, None, int(dur * 1000), codec)
             # quantize with the encoder's exact formula so the sum is ground
             # truth for what a correct decoder must reproduce
             pcm = np.clip(np.round(s.astype(np.float64) * 32768.0), -32768, 32767)
             truth = (int(pcm.sum(dtype=np.int64)), None, None, int(s.size),
                      len(payload))
+        elif (i // 3) % 2 == 1:
+            # REAL video: MJPEG-in-AVI, decodable frame by frame
+            from olympian_spark.functions.mjpeg import encode_avi_mjpeg
+
+            fps = 5
+            nf = int(rng.integers(2, 6))
+            h, w = int(rng.integers(8, 32)), int(rng.integers(8, 32))
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = np.stack(
+                [
+                    (xx * 255 // max(w - 1, 1)),
+                    (yy * 255 // max(h - 1, 1)),
+                    rng.integers(0, 256, (h, w)),
+                ],
+                axis=2,
+            )
+            frames = np.clip(
+                base[None] + np.arange(nf)[:, None, None, None] * 3, 0, 255
+            ).astype(np.uint8)
+            payload = encode_avi_mjpeg(frames, fps=fps, quality=90)
+            meta = (w, h, nf * 1000 // fps, "mjpeg")
+            truth = (int(frames.sum(dtype=np.int64)), w, h, nf, len(payload))
         else:
             payload = bytes(
                 rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8)
@@ -463,6 +532,8 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                         feats[i] = image_features(decode_image(bytes(p), meta), dim)
                     elif kind == "audio":
                         feats[i] = audio_features(*decode_audio(bytes(p), meta), dim)
+                    elif kind == "video":
+                        feats[i] = video_features(*decode_video(bytes(p), meta), dim)
                     else:
                         raise NotImplementedError(kind)
                 except NotImplementedError:
@@ -538,6 +609,17 @@ def decode_verify(df: DataFrame) -> DataFrame:
                             samples.size == t["n_samples"]
                             and int(pcm.sum(dtype=np.float64)) == t["content_sum"]
                         )
+                    elif kind == "video":
+                        frames, _fps = decode_video(bytes(p), {"codec": codec})
+                        # MJPEG frames are lossy JPEG: same per-sample sum
+                        # budget as the still-image JPEG branch above
+                        ok[i] = (
+                            frames.shape == (t["n_samples"], t["h"], t["w"], 3)
+                            and abs(
+                                int(frames.sum(dtype=np.int64)) - t["content_sum"]
+                            )
+                            <= 2 * frames.size
+                        )
                     else:
                         raise NotImplementedError(kind)
                 except NotImplementedError:
@@ -563,12 +645,79 @@ def decode_verify(df: DataFrame) -> DataFrame:
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling schedule: one row per sampled frame timestamp —
-    pure relational (sequence+explode), the decode itself being the stubbed
-    step. Demonstrates the fan-out shape (row -> frames) used for video."""
+    pure relational (sequence+explode). Demonstrates the fan-out shape
+    (row -> frames) used for video; :func:`sample_frame_features` is the
+    variant that actually decodes the sampled frames."""
     v = df.filter(F.col("kind") == "video")
     return v.select(
         "media_id",
         F.explode(
             F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
         ).alias("frame_ms"),
+    )
+
+
+def sample_frame_features(
+    df: DataFrame, every_ms: int = 1000, dim: int = FEATURE_DIM
+) -> DataFrame:
+    """video rows -> (media_id, frame_ms, feature): REAL decoded-pixel
+    features of the frame nearest each sampled timestamp (MJPEG-AVI);
+    external-library codecs (h264) fall back to a deterministic keyed-hash
+    feature per sampled timestamp so the dataflow stays total.
+
+    The row -> frames fan-out happens INSIDE mapInArrow (narrow op): no
+    shuffle, no payload duplication per frame — at 100 TB each video's
+    bytes are read once per partition pass and only the small feature rows
+    fan out."""
+
+    def op(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            codecs = batch.column("codec").to_pylist()
+            durs = batch.column("duration_ms").to_pylist()
+            out_id: list[int] = []
+            out_ms: list[int] = []
+            out_feat: list[np.ndarray] = []
+            for mid, p, codec, dur in zip(ids, payloads, codecs, durs):
+                stamps = range(0, max(int(dur or 0), 0) + 1, every_ms)
+                try:
+                    frames, fps = decode_video(bytes(p), {"codec": codec})
+                    n = frames.shape[0]
+                    per_frame: dict[int, np.ndarray] = {}
+                    for ms in stamps:
+                        idx = min(int(ms * max(fps, 1e-9) / 1000.0), n - 1)
+                        if idx not in per_frame:
+                            per_frame[idx] = image_features(frames[idx], dim)
+                        out_id.append(mid)
+                        out_ms.append(ms)
+                        out_feat.append(per_frame[idx])
+                except Exception:
+                    # h264 (NotImplementedError) or a corrupt container:
+                    # keyed-hash fallback per sampled timestamp
+                    for ms in stamps:
+                        out_id.append(mid)
+                        out_ms.append(ms)
+                        out_feat.append(
+                            _fake_features([bytes(p) + ms.to_bytes(8, "big")], dim)[0]
+                        )
+            yield pa.record_batch(
+                {
+                    "media_id": pa.array(out_id, pa.int64()),
+                    "frame_ms": pa.array(out_ms, pa.int64()),
+                    "feature": pa.array(
+                        [f.tolist() for f in out_feat], pa.list_(pa.float32())
+                    ),
+                }
+            )
+
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            "payload",
+            F.col("meta.codec").alias("codec"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+        )
+        .mapInArrow(op, "media_id long, frame_ms long, feature array<float>")
     )

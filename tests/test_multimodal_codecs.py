@@ -84,8 +84,12 @@ def test_decode_dispatch_and_fallback():
     from olympian_spark.functions.jpeg import encode_jpeg
 
     assert decode_image(encode_jpeg(img), {}).shape == (4, 4, 3)
+    from olympian_spark.functions.flac import encode_flac
+
+    s, r = decode_audio(encode_flac(np.zeros(8, np.float32), 8000), {})
+    assert r == 8000 and s.shape == (8,)
     with pytest.raises(NotImplementedError):
-        decode_audio(b"fLaC....", {"codec": "flac"})
+        decode_audio(b"ID3\x04mp3bytes", {"codec": "mp3"})
 
 
 def test_resize_area_block_mean():
