@@ -1166,6 +1166,40 @@ SELECT CAST(r.range AS BIGINT) AS media_id,
 FROM range(120) r
 """
 
+
+def q_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-codec decode matrix over the deterministic media table: every
+    payload of every REAL codec (ppm/bmp/png/jpeg image, wav/flac audio,
+    mjpeg-avi video) must survive a full encode->decode roundtrip against
+    generation-time ground truth; h264 is the deliberate library-fallback
+    row (payload-length check only). The generator cycles codecs in closed
+    form over media_id (multimodal.gen_fake_media), so the per-codec counts
+    are a VALUES literal for the DuckDB oracle: n=240 -> 20 each of
+    ppm/bmp/png/jpeg, 40 each of wav/flac/h264/mjpeg, all decode_ok."""
+    from olympian_spark.operators.multimodal import decode_verify, gen_fake_media
+    from pyspark.sql import functions as F
+
+    media = gen_fake_media(spark, n=240, with_truth=True)
+    codecs = media.select("media_id", F.col("meta.codec").alias("codec"))
+    return (
+        decode_verify(media)
+        .join(codecs, "media_id")
+        .groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+            F.min("decode_ok").alias("all_ok"),
+        )
+    )
+
+
+_CODEC_MATRIX_DUCK = """
+SELECT codec, CAST(n AS BIGINT) AS n_payloads, CAST(n AS BIGINT) AS n_decoded,
+       TRUE AS all_ok
+FROM (VALUES ('ppm', 20), ('bmp', 20), ('png', 20), ('jpeg', 20),
+             ('wav', 40), ('flac', 40), ('h264', 40), ('mjpeg', 40)) t(codec, n)
+"""
+
 _MINHASH_DUCK = _SHJ_DUCK.replace(
     "WHERE c.n_common >= 0.8", "WHERE c.n_common >= 0.7"
 ).replace(
@@ -1205,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q39_ann_ivf_topk"] = q_ann_ivf
     out["q35_multimodal_features"] = q_multimodal
     out["q40_embedding_near_dup"] = q_embedding_near_dup
+    out["q41_codec_matrix"] = q_codec_matrix
     return out
 
 
@@ -1231,4 +1266,7 @@ def oracle_sql() -> dict[str, str]:
     # q40 — planted-exact-duplicate keyspace is closed form (identical
     # vectors share every LSH bucket deterministically)
     out["q40_embedding_near_dup"] = _NEARDUP_DUCK
+    # q41 — the generator's codec cycle is a closed form of media_id, so the
+    # per-codec roundtrip counts are a VALUES literal
+    out["q41_codec_matrix"] = _CODEC_MATRIX_DUCK
     return out
