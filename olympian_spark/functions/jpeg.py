@@ -324,35 +324,49 @@ def _encode_block(
     return dc
 
 
-def encode_jpeg(
-    img: np.ndarray, quality: int = 85, subsampling: str = "4:2:0"
-) -> bytes:
-    """Baseline sequential JFIF JPEG from an (h, w, 3) uint8 RGB array."""
+def _prepare_components(
+    img: np.ndarray, quality: int, subsampling: str
+) -> tuple[int, int, int, np.ndarray, np.ndarray, list[np.ndarray]]:
+    """Shared encoder front end: color-convert, subsample, FDCT+quantize.
+
+    Returns (h, w, luma_factor, qy, qc, [yq, cbq, crq]) where each *q is a
+    (blocks_y, blocks_x, 8, 8) stack of quantized coefficients — identical
+    for the baseline and progressive encoders, which differ only in how
+    these coefficients are entropy-coded."""
     assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
     if subsampling not in ("4:2:0", "4:4:4"):
         raise ValueError(f"subsampling {subsampling!r} (4:2:0 or 4:4:4)")
     h, w = img.shape[:2]
     sub = subsampling == "4:2:0"
-    hy = vy = 2 if sub else 1  # luma sampling factors
+    hy = 2 if sub else 1  # luma sampling factor (h == v)
 
     qy = _quality_scale(_QUANT_LUMA, quality)
     qc = _quality_scale(_QUANT_CHROMA, quality)
 
     ycc = _rgb_to_ycbcr(img)
-    mcu_h, mcu_w = 8 * vy, 8 * hy
-    yp = _pad_replicate(ycc[..., 0], mcu_h, mcu_w)
-    cb = _pad_replicate(ycc[..., 1], mcu_h, mcu_w)
-    cr = _pad_replicate(ycc[..., 2], mcu_h, mcu_w)
+    mcu = 8 * hy
+    yp = _pad_replicate(ycc[..., 0], mcu, mcu)
+    cb = _pad_replicate(ycc[..., 1], mcu, mcu)
+    cr = _pad_replicate(ycc[..., 2], mcu, mcu)
     if sub:  # 2x2 box average, the standard JFIF downsample
         cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(axis=(1, 3))
         cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(axis=(1, 3))
 
-    yb = _blocks_of(yp)
-    cbb = _blocks_of(cb)
-    crb = _blocks_of(cr)
-    yq = _fdct_quant(yb.reshape(-1, 8, 8), qy).reshape(yb.shape[0], yb.shape[1], 8, 8)
-    cbq = _fdct_quant(cbb.reshape(-1, 8, 8), qc).reshape(cbb.shape[0], cbb.shape[1], 8, 8)
-    crq = _fdct_quant(crb.reshape(-1, 8, 8), qc).reshape(crb.shape[0], crb.shape[1], 8, 8)
+    quant = []
+    for plane, qt in ((yp, qy), (cb, qc), (cr, qc)):
+        b = _blocks_of(plane)
+        quant.append(
+            _fdct_quant(b.reshape(-1, 8, 8), qt).reshape(b.shape[0], b.shape[1], 8, 8)
+        )
+    return h, w, hy, qy, qc, quant
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 85, subsampling: str = "4:2:0"
+) -> bytes:
+    """Baseline sequential JFIF JPEG from an (h, w, 3) uint8 RGB array."""
+    h, w, hy, qy, qc, (yq, cbq, crq) = _prepare_components(img, quality, subsampling)
+    vy = hy
 
     dc_y = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_y = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
@@ -403,9 +417,306 @@ def encode_jpeg(
     return bytes(out)
 
 
+# progressive encoder: a flat 8-bit AC Huffman table. Annex K's sequential
+# AC tables lack the EOBn symbols (0x10..0xE0) progressive AC scans need, so
+# the test-fixture encoder emits its own self-describing table: all 176
+# symbols a progressive AC scan can produce (EOB0..EOB14, ZRL, and
+# run/size for size 1..10) at code length 8 — Kraft-feasible (176 < 256)
+# and the all-ones code stays unassigned as T.81 requires.
+_AC_PROG_VALS = sorted({r << 4 for r in range(15)} | {0xF0}
+                       | {(r << 4) | s for r in range(16) for s in range(1, 11)})
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+class _EobState:
+    """Scan-level EOB-run bookkeeping for progressive AC scans: the run
+    count plus the correction bits of run blocks (refinement scans), both
+    flushed together — EOBn symbol, its extra bits, then the buffered
+    bits — exactly where the decoder's advance loop will consume them."""
+
+    def __init__(self, bw: _BitWriter, ac_tab: dict):
+        self.bw = bw
+        self.ac_tab = ac_tab
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self) -> None:
+        if self.run > 0:
+            r = self.run.bit_length() - 1
+            hc, hl = self.ac_tab[r << 4]
+            self.bw.write(hc, hl)
+            self.bw.write(self.run & ((1 << r) - 1), r)
+            self.run = 0
+        for b in self.bits:
+            self.bw.write(b, 1)
+        self.bits = []
+
+    def add_block(self, bits: list[int]) -> None:
+        self.run += 1
+        self.bits.extend(bits)
+        if self.run == 0x7FFF or len(self.bits) > 900:
+            self.flush()
+
+
+def _encode_ac_first(
+    bw: _BitWriter, zz: np.ndarray, ss: int, se: int, al: int,
+    ac_tab: dict, st: _EobState,
+) -> None:
+    """AC first scan, one block (T.81 G.1.2.2): point-transformed band with
+    EOB-run coding across blocks."""
+    band = zz[ss : se + 1]
+    v = np.sign(band) * (np.abs(band) >> al)
+    nz = np.nonzero(v)[0]
+    if nz.size == 0:
+        st.add_block([])
+        return
+    st.flush()
+    run = 0
+    last = int(nz[-1])
+    for i in range(last + 1):
+        x = int(v[i])
+        if x == 0:
+            run += 1
+            continue
+        while run >= 16:
+            hc, hl = ac_tab[0xF0]
+            bw.write(hc, hl)
+            run -= 16
+        s, code = _magnitude(x)
+        hc, hl = ac_tab[(run << 4) | s]
+        bw.write(hc, hl)
+        bw.write(code, s)
+        run = 0
+    if last < se - ss:
+        st.add_block([])
+
+
+def _encode_ac_refine(
+    bw: _BitWriter, zz: np.ndarray, ss: int, se: int, al: int,
+    ac_tab: dict, st: _EobState,
+) -> None:
+    """AC refinement scan, one block (T.81 G.1.2.3): newly-significant
+    coefficients as run/1 symbols; already-nonzero coefficients contribute
+    one correction bit each, buffered and emitted directly after the next
+    symbol so the decoder's advance loop consumes them in stream order."""
+    band = zz[ss : se + 1]
+    t = np.abs(band) >> al
+    newly = np.nonzero(t == 1)[0]
+    eob = int(newly[-1]) if newly.size else -1
+    br_bits: list[int] = []
+    run = 0
+    for i in range(band.size):
+        ti = int(t[i])
+        if ti == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            st.flush()
+            hc, hl = ac_tab[0xF0]
+            bw.write(hc, hl)
+            run -= 16
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+        if ti > 1:  # history coefficient: correction bit only
+            br_bits.append(ti & 1)
+            continue
+        st.flush()
+        hc, hl = ac_tab[(run << 4) | 1]
+        bw.write(hc, hl)
+        bw.write(1 if band[i] > 0 else 0, 1)
+        for b in br_bits:
+            bw.write(b, 1)
+        br_bits = []
+        run = 0
+    if run > 0 or br_bits:
+        st.add_block(br_bits)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsampling: str = "4:2:0"
+) -> bytes:
+    """Progressive (SOF2) JFIF JPEG from an (h, w, 3) uint8 RGB array.
+
+    Same quantized coefficients as :func:`encode_jpeg` (shared front end),
+    entropy-coded as a 20-scan script exercising every progressive scan
+    kind: interleaved DC first at Al=1, per-component AC first scans in two
+    spectral bands at Al=2, a DC refinement, and two successive AC
+    refinement rounds per band (Al 2->1->0). Decoding therefore yields
+    pixels bit-identical to decoding the baseline encoding."""
+    h, w, hy, qy, qc, quant = _prepare_components(img, quality, subsampling)
+    vy = hy
+    yq, cbq, crq = quant
+    mcus_y, mcus_x = cbq.shape[0], cbq.shape[1]
+
+    # zigzag views: comp -> (blocks_y, blocks_x, 64)
+    zzv = [q.reshape(q.shape[0], q.shape[1], 64)[..., _ZZ] for q in quant]
+    factors = [(hy, vy), (1, 1), (1, 1)]
+
+    dc_tabs = [
+        _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    ]
+    ac_tab = _huff_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    def nonintl_grid(ci: int) -> tuple[int, int]:
+        fh, fv = factors[ci]
+        cw = -(-(w * fh) // hy)
+        ch = -(-(h * fv) // vy)
+        return -(-ch // 8), -(-cw // 8)
+
+    def dc_scan(al: int, refine: bool) -> bytes:
+        bw = _BitWriter()
+        preds = [0, 0, 0]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(3):
+                    fh, fv = factors[ci]
+                    for by in range(fv):
+                        for bx in range(fh):
+                            dc = int(zzv[ci][my * fv + by, mx * fh + bx, 0])
+                            if refine:
+                                bw.write((dc >> al) & 1, 1)
+                            else:
+                                v = dc >> al  # arithmetic shift, per G.1.2.1
+                                s, code = _magnitude(v - preds[ci])
+                                tab = dc_tabs[0 if ci == 0 else 1]
+                                hc, hl = tab[s]
+                                bw.write(hc, hl)
+                                bw.write(code, s)
+                                preds[ci] = v
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_scan(ci: int, ss: int, se: int, al: int, refine: bool) -> bytes:
+        bw = _BitWriter()
+        st = _EobState(bw, ac_tab)
+        nby, nbx = nonintl_grid(ci)
+        fn = _encode_ac_refine if refine else _encode_ac_first
+        for by in range(nby):
+            for bx in range(nbx):
+                fn(bw, zzv[ci][by, bx], ss, se, al, ac_tab, st)
+        st.flush()
+        bw.flush()
+        return bytes(bw.out)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+
+    def sos(comp_sel: list[tuple[int, int, int]], ss: int, se: int,
+            ah: int, al: int) -> bytes:
+        p = bytes([len(comp_sel)])
+        for cid, td, ta in comp_sel:
+            p += bytes([cid, td << 4 | ta])
+        return seg(0xFFDA, p + bytes([ss, se, ah << 4 | al]))
+
+    out = bytearray()
+    out += struct.pack(">H", 0xFFD8)  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qy[_ZZ].astype(np.uint8)))
+    out += seg(0xFFDB, b"\x01" + bytes(qc[_ZZ].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, hy << 4 | vy, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    out += seg(0xFFC2, sof)  # SOF2: progressive DCT
+    out += seg(
+        0xFFC4,
+        dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+        + dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        + dht(1, 0, _AC_PROG_BITS, _AC_PROG_VALS),
+    )
+
+    all_dc = [(1, 0, 0), (2, 1, 0), (3, 1, 0)]
+    # scan script: DC first (Al=1); AC first low band then high band (Al=2);
+    # DC refine; AC refine Al=2->1 then Al=1->0, both bands, per component
+    out += sos(all_dc, 0, 0, 0, 1) + dc_scan(1, refine=False)
+    for ss, se in ((1, 5), (6, 63)):
+        for ci, cid in ((0, 1), (1, 2), (2, 3)):
+            out += sos([(cid, 0, 0)], ss, se, 0, 2) + ac_scan(ci, ss, se, 2, False)
+    out += sos(all_dc, 0, 0, 1, 0) + dc_scan(0, refine=True)
+    for ah, al in ((2, 1), (1, 0)):
+        for ss, se in ((1, 5), (6, 63)):
+            for ci, cid in ((0, 1), (1, 2), (2, 3)):
+                out += sos([(cid, 0, 0)], ss, se, ah, al) + ac_scan(
+                    ci, ss, se, al, refine=True
+                )
+    out += struct.pack(">H", 0xFFD9)  # EOI
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
+
+
+def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split the entropy-coded stream starting at ``pos`` into restart
+    segments, unstuffing 0xFF00. Returns (segments, position of the next
+    marker's 0xFF byte). A restart marker byte-aligns and resets DC
+    predictors (and, in progressive AC scans, the EOB run)."""
+    segments: list[bytearray] = [bytearray()]
+    i = pos
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                segments[-1].append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytearray())
+                i += 2
+                continue
+            break  # EOI or next marker
+        segments[-1].append(b)
+        i += 1
+    return [bytes(s) for s in segments], i
+
+
+def _reconstruct(
+    comps: list[dict], qtables: dict[int, np.ndarray], h: int, w: int,
+    hmax: int, vmax: int,
+) -> np.ndarray:
+    """Dequantize + IDCT (vectorized per component), upsample, color
+    convert — shared by the baseline and progressive decode paths (both
+    leave zigzag-order quantized coefficients in ``c["coef"]``)."""
+    planes = []
+    for c in comps:
+        q = qtables[c["tq"]]
+        nby, nbx = c["coef"].shape[:2]
+        # coef holds zigzag-order coefficients; dequantize in zigzag order
+        # (q reindexed to zigzag), then scatter to raster for the IDCT
+        deq = c["coef"].reshape(-1, 64) * q[_ZZ][None, :]
+        raster = np.zeros_like(deq)
+        raster[:, _ZZ] = deq
+        blocks = raster.reshape(-1, 8, 8).astype(np.float64)
+        pix = np.einsum("nk,bkl,lm->bnm", _DCT.T, blocks, _DCT, optimize=True)
+        pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
+        plane = (
+            pix.reshape(nby, nbx, 8, 8)
+            .swapaxes(1, 2)
+            .reshape(nby * 8, nbx * 8)
+        )
+        # upsample to full MCU-grid resolution by sample replication
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        planes.append(plane[:h, :w].astype(np.float64))
+
+    if len(planes) == 1:  # grayscale
+        g = planes[0].astype(np.uint8)
+        return np.ascontiguousarray(np.stack([g, g, g], axis=-1))
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _decode_sym(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -443,12 +754,179 @@ def _decode_block(
     return zz, dc
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 RGB from a baseline sequential JFIF/JPEG stream.
+def _nonintl_grid(c: dict, h: int, w: int, hmax: int, vmax: int) -> tuple[int, int]:
+    """Block grid of one component in a NON-interleaved scan (T.81 A.2.2:
+    ceil of the component's sample dimensions over 8). May be smaller than
+    the MCU-padded grid — trailing pad blocks are simply never coded."""
+    cw = -(-(w * c["h"]) // hmax)
+    ch = -(-(h * c["v"]) // vmax)
+    return -(-ch // 8), -(-cw // 8)
 
-    Honours the stream's own DQT and DHT tables, grayscale or YCbCr,
-    sampling factors up to 2x2, restart intervals. Progressive (SOF2)
-    and arithmetic-coded (SOF9+) frames raise NotImplementedError."""
+
+def _decode_scan_progressive(
+    segments: list[bytes], scan: list[dict], by_id: dict, comps: list[dict],
+    band: tuple[int, int], approx: tuple[int, int], restart_interval: int,
+    mcus_x: int, mcus_y: int, hmax: int, vmax: int, h: int, w: int,
+    dc_tabs: dict, ac_tabs: dict,
+) -> None:
+    """One progressive scan (T.81 Annex G.2) into the components' zigzag
+    coefficient planes. Four scan kinds: DC first (Ss=0, Ah=0; the only
+    kind that may interleave several components), DC refinement (Ss=0,
+    Ah>0; one raw bit per block), AC first (Ss>0, Ah=0; spectral band with
+    EOB-run coding), AC refinement (Ss>0, Ah>0; newly-significant co
+    efficients plus correction bits for already-nonzero ones)."""
+    ss, se = band
+    ah, al = approx
+    p1 = 1 << al
+
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC (Ss=0, Se>0)")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+
+    def refine_nonzero(br: _BitReader, zz: np.ndarray, k: int) -> None:
+        # correction bit for an already-nonzero coefficient (G.1.2.3)
+        if br.read_bit() and (abs(int(zz[k])) & p1) == 0:
+            zz[k] += p1 if zz[k] > 0 else -p1
+
+    def ac_first_block(br: _BitReader, zz: np.ndarray, state: dict) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        ac_tab = state["ac_tab"]
+        k = ss
+        while k <= se:
+            sym = _decode_sym(br, ac_tab)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) + (br.read(r) if r else 0) - 1
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of spectral band")
+            zz[k] = _extend(br.read(s), s) << al
+            k += 1
+
+    def ac_refine_block(br: _BitReader, zz: np.ndarray, state: dict) -> None:
+        ac_tab = state["ac_tab"]
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                sym = _decode_sym(br, ac_tab)
+                r, s = sym >> 4, sym & 0x0F
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r) + (br.read(r) if r else 0)
+                        break
+                    # ZRL: skip 16 zero-history coefficients below
+                elif s == 1:
+                    newval = p1 if br.read_bit() else -p1
+                else:
+                    raise ValueError("AC refinement size > 1")
+                # advance past r zero coefficients, refining nonzeros en route
+                while k <= se:
+                    if zz[k] != 0:
+                        refine_nonzero(br, zz, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    zz[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:  # correction bits only, to the end of the band
+                if zz[k] != 0:
+                    refine_nonzero(br, zz, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    for sc in scan:
+        c = by_id[sc["id"]]
+        if ss == 0 and ah == 0:
+            c["dc_tab"] = dc_tabs[sc["dc"]]
+        if ss > 0 and ah == 0:
+            c["ac_tab"] = ac_tabs[sc["ac"]]
+
+    if ss == 0:  # DC scan: MCU-interleaved when several components
+        if len(scan) > 1:
+            units = [("mcu", None)] * (mcus_x * mcus_y)
+        else:
+            c = by_id[scan[0]["id"]]
+            nby, nbx = _nonintl_grid(c, h, w, hmax, vmax)
+            units = [("blk", divmod(u, nbx)) for u in range(nby * nbx)]
+        unit = 0
+        for segment in segments:
+            if unit >= len(units):
+                break
+            br = _BitReader(segment)
+            preds = {sc["id"]: 0 for sc in scan}
+            end = (
+                min(unit + restart_interval, len(units))
+                if restart_interval
+                else len(units)
+            )
+            while unit < end:
+                kind, at = units[unit]
+                for sc in scan:
+                    c = by_id[sc["id"]]
+                    if kind == "mcu":
+                        my, mx = divmod(unit, mcus_x)
+                        blocks = [
+                            (my * c["v"] + by, mx * c["h"] + bx)
+                            for by in range(c["v"])
+                            for bx in range(c["h"])
+                        ]
+                    else:
+                        blocks = [at]
+                    for by, bx in blocks:
+                        zz = c["coef"][by, bx]
+                        if ah == 0:
+                            s = _decode_sym(br, c["dc_tab"])
+                            preds[sc["id"]] += _extend(br.read(s), s)
+                            zz[0] = preds[sc["id"]] << al
+                        elif br.read_bit():
+                            zz[0] |= p1
+                unit += 1
+        if unit < len(units):
+            raise ValueError(f"progressive DC scan truncated at {unit}/{len(units)}")
+        return
+
+    # AC scan: single component, non-interleaved block order
+    sc = scan[0]
+    c = by_id[sc["id"]]
+    nby, nbx = _nonintl_grid(c, h, w, hmax, vmax)
+    state = {"eobrun": 0, "ac_tab": ac_tabs[sc["ac"]]}
+    block_fn = ac_first_block if ah == 0 else ac_refine_block
+    blk = 0
+    total = nby * nbx
+    for segment in segments:
+        if blk >= total:
+            break
+        br = _BitReader(segment)
+        state["eobrun"] = 0
+        end = min(blk + restart_interval, total) if restart_interval else total
+        while blk < end:
+            by, bx = divmod(blk, nbx)
+            block_fn(br, c["coef"][by, bx], state)
+            blk += 1
+    if blk < total:
+        raise ValueError(f"progressive AC scan truncated at {blk}/{total}")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB from a JFIF/JPEG stream.
+
+    Baseline/extended sequential (SOF0/SOF1) and progressive (SOF2) frames,
+    honouring the stream's own DQT and DHT tables; grayscale or YCbCr,
+    sampling factors up to 2x2, restart intervals, spectral selection and
+    successive approximation. Arithmetic-coded frames (SOF9+) raise
+    NotImplementedError."""
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -457,6 +935,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None  # (h, w, components)
+    progressive = False
+    allocated = False
+    any_scan = False
     restart_interval = 0
     scan = None
 
@@ -483,7 +964,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raster = np.zeros(64, np.int64)
                 raster[_ZZ] = tab  # DQT is in zigzag order
                 qtables[tq] = raster
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2 (progressive)
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} (only 8-bit)")
@@ -492,8 +973,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG frame type SOF{marker - 0xC0}")
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -513,31 +993,47 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i : 3 + 2 * i]
                 scomps.append({"id": cs, "dc": tt >> 4, "ac": tt & 0x0F})
-            scan = scomps
-            break
+            if not progressive:
+                scan = scomps
+                break
+            # progressive: decode this scan now, keep walking markers
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            h, w, comps = frame
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            if not allocated:
+                for c in comps:
+                    c["coef"] = np.zeros(
+                        (mcus_y * c["v"], mcus_x * c["h"], 64), np.int64
+                    )
+                allocated = True
+            by_id = {c["id"]: c for c in comps}
+            segments, pos = _entropy_segments(data, pos)
+            _decode_scan_progressive(
+                segments, scomps, by_id, comps, (ss, se),
+                (ahal >> 4, ahal & 0x0F), restart_interval,
+                mcus_x, mcus_y, hmax, vmax, h, w, dc_tabs, ac_tabs,
+            )
+            any_scan = True
         # APPn / COM / anything else: skipped
+
+    if progressive:
+        if frame is None or not any_scan:
+            raise ValueError("progressive JPEG missing SOF/SOS")
+        h, w, comps = frame
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        return _reconstruct(comps, qtables, h, w, hmax, vmax)
+
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
 
-    # split the entropy-coded stream into restart segments, unstuffing
-    # 0xFF00; a restart marker byte-aligns and resets DC predictors
-    segments: list[bytearray] = [bytearray()]
-    i = pos
-    while i < len(data):
-        b = data[i]
-        if b == 0xFF:
-            nxt = data[i + 1] if i + 1 < len(data) else 0xD9
-            if nxt == 0x00:
-                segments[-1].append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segments.append(bytearray())
-                i += 2
-                continue
-            break  # EOI or next marker
-        segments[-1].append(b)
-        i += 1
+    segments, _ = _entropy_segments(data, pos)
 
     h, w, comps = frame
     hmax = max(c["h"] for c in comps)
@@ -557,7 +1053,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     for segment in segments:
         if mcu >= n_mcus:
             break
-        br = _BitReader(bytes(segment))
+        br = _BitReader(segment)
         preds = {c["id"]: 0 for c in comps}
         seg_end = (
             min(mcu + restart_interval, n_mcus) if restart_interval else n_mcus
@@ -576,36 +1072,4 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if mcu < n_mcus:
         raise ValueError(f"JPEG truncated: {mcu}/{n_mcus} MCUs decoded")
 
-    # dequantize + IDCT, vectorized per component; upsample; color convert
-    planes = []
-    for c in comps:
-        q = qtables[c["tq"]]
-        nby, nbx = c["coef"].shape[:2]
-        # coef holds zigzag-order coefficients; dequantize in zigzag order
-        # (q reindexed to zigzag), then scatter to raster for the IDCT
-        deq = c["coef"].reshape(-1, 64) * q[_ZZ][None, :]
-        raster = np.zeros_like(deq)
-        raster[:, _ZZ] = deq
-        blocks = raster.reshape(-1, 8, 8).astype(np.float64)
-        pix = np.einsum("nk,bkl,lm->bnm", _DCT.T, blocks, _DCT, optimize=True)
-        pix = np.clip(np.round(pix + 128.0), 0, 255).astype(np.uint8)
-        plane = (
-            pix.reshape(nby, nbx, 8, 8)
-            .swapaxes(1, 2)
-            .reshape(nby * 8, nbx * 8)
-        )
-        # upsample to full MCU-grid resolution by sample replication
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
-        planes.append(plane[:h, :w].astype(np.float64))
-
-    if len(planes) == 1:  # grayscale
-        g = planes[0].astype(np.uint8)
-        return np.ascontiguousarray(np.stack([g, g, g], axis=-1))
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _reconstruct(comps, qtables, h, w, hmax, vmax)

@@ -439,10 +439,15 @@ def gen_fake_media(
             ).astype(np.uint8)
             codec = ("ppm", "bmp", "png", "jpeg")[(i // 3) % 4]
             if codec == "jpeg":
-                from olympian_spark.functions.jpeg import encode_jpeg
+                from olympian_spark.functions.jpeg import (
+                    encode_jpeg,
+                    encode_jpeg_progressive,
+                )
 
-                # alternate subsampling so both decode paths are exercised
-                payload = encode_jpeg(
+                # alternate subsampling AND baseline/progressive so all
+                # four decode paths are exercised
+                enc = (encode_jpeg, encode_jpeg_progressive)[(i // 24) % 2]
+                payload = enc(
                     img, quality=90,
                     subsampling=("4:4:4", "4:2:0")[(i // 12) % 2],
                 )

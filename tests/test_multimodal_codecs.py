@@ -291,15 +291,20 @@ def test_jpeg_noise_roundtrip_and_quality_order():
     assert err.mean() < 12.0 and err.max() < 64
 
 
-def test_jpeg_progressive_and_garbage_rejected():
+def test_jpeg_unsupported_and_garbage_rejected():
     from olympian_spark.functions.jpeg import decode_jpeg
 
     import struct as _s
 
-    # SOI + minimal SOF2 segment -> progressive, explicitly unsupported
+    # SOI + bare SOF2 with no scans: progressive is now decodable, but a
+    # frame without any SOS must still fail cleanly
     sof2 = b"\xff\xd8" + b"\xff\xc2" + _s.pack(">H", 8) + b"\x08\x00\x10\x00\x10\x01"
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(sof2)
+    # arithmetic-coded frame (SOF9) stays explicitly unsupported
+    sof9 = b"\xff\xd8" + b"\xff\xc9" + _s.pack(">H", 8) + b"\x08\x00\x10\x00\x10\x01"
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof9)
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg at all")
 
