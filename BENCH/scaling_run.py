@@ -60,6 +60,11 @@ def main() -> None:
     ap.add_argument("--hot-share", type=float, default=0.02)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--levels", type=int, nargs="+", default=[8, 32])
+    ap.add_argument(
+        "--out", default="scaling_results.json",
+        help="result filename under BENCH/ (so alternate pairings don't "
+        "overwrite the headline 8-vs-32 record)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -108,7 +113,7 @@ def main() -> None:
         "core_ratio": ratio,
         "scaling_efficiency": round(eff, 3),
     }
-    with open(os.path.join(HERE, "scaling_results.json"), "w") as f:
+    with open(os.path.join(HERE, args.out), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
 

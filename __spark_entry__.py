@@ -1167,15 +1167,130 @@ FROM range(120) r
 """
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query-term
+    set (operators/textstats.bm25_score): JVM regexp term frequencies, a
+    reduce-to-one-row corpus-stats aggregate broadcast back over the
+    corpus — no corpus shuffle. The oracle recomputes the same closed-form
+    expression in SQL; both sides integerize as floor(score * 1e6), and
+    the corpus stats (avg doc length, per-term document frequency) are
+    exact integer ratios so the doubles agree bit-for-bit."""
+    from olympian_spark.operators.textstats import bm25_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_score(docs, ["spark", "join", "vector"])
+
+
+_BM25_DUCK = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+'))
+         END AS dl,
+         len(regexp_extract_all(lower(coalesce(text, '')), '\\bspark\\b')) AS tf_spark,
+         len(regexp_extract_all(lower(coalesce(text, '')), '\\bjoin\\b')) AS tf_join,
+         len(regexp_extract_all(lower(coalesce(text, '')), '\\bvector\\b')) AS tf_vector
+  FROM documents
+), s AS (
+  SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl,
+         sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+         sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+         sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector
+  FROM d
+)
+SELECT d.doc_id, CAST(d.dl AS BIGINT) AS dl,
+       CAST(tf_spark AS BIGINT) AS tf_spark,
+       CAST(tf_join AS BIGINT) AS tf_join,
+       CAST(tf_vector AS BIGINT) AS tf_vector,
+       CAST(floor((
+           ln((CAST(n_docs AS DOUBLE) - CAST(df_spark AS DOUBLE) + 0.5)
+              / (CAST(df_spark AS DOUBLE) + 0.5) + 1.0)
+             * CAST(tf_spark AS DOUBLE) * 2.2
+             / (CAST(tf_spark AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / avgdl))
+         + ln((CAST(n_docs AS DOUBLE) - CAST(df_join AS DOUBLE) + 0.5)
+              / (CAST(df_join AS DOUBLE) + 0.5) + 1.0)
+             * CAST(tf_join AS DOUBLE) * 2.2
+             / (CAST(tf_join AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / avgdl))
+         + ln((CAST(n_docs AS DOUBLE) - CAST(df_vector AS DOUBLE) + 0.5)
+              / (CAST(df_vector AS DOUBLE) + 0.5) + 1.0)
+             * CAST(tf_vector AS DOUBLE) * 2.2
+             / (CAST(tf_vector AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / avgdl))
+       ) * 1e6) AS BIGINT) AS bm25_x1e6
+FROM d, s
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: exact shingle-Jaccard pairs (q26's keyspace at
+    0.8, uncapped) -> connected components via alternating
+    large-star/small-star (O(log n) rounds, dedup.connected_components)
+    -> every document labeled with its cluster minimum + cluster size.
+    The oracle recomputes components as a recursive-CTE transitive
+    closure over the SAME pair query — tractable at sf0.01, while the
+    Spark side is the plan that survives 100 TB."""
+    from pyspark.sql import functions as F
+
+    from olympian_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=None)
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn(
+            "component", F.coalesce("component", F.col("doc_id").cast("long"))
+        )
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return labeled.join(sizes, "component").select(
+        "doc_id", "component", "n_members"
+    )
+
+
+_CLUSTERS_DUCK = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_SHJ_DUCK}) t
+), sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), comp AS (
+  SELECT u AS doc_id, least(min(v), u) AS component FROM reach GROUP BY u
+), labeled AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT l.doc_id, CAST(l.component AS BIGINT) AS component,
+       CAST(s.n_members AS BIGINT) AS n_members
+FROM labeled l
+JOIN (SELECT component, count(*) AS n_members FROM labeled GROUP BY component) s
+  USING (component)
+"""
+
+
 def q_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-codec decode matrix over the deterministic media table: every
-    payload of every REAL codec (ppm/bmp/png/jpeg image, wav/flac audio,
-    mjpeg-avi video) must survive a full encode->decode roundtrip against
-    generation-time ground truth; h264 is the deliberate library-fallback
-    row (payload-length check only). The generator cycles codecs in closed
-    form over media_id (multimodal.gen_fake_media), so the per-codec counts
-    are a VALUES literal for the DuckDB oracle: n=240 -> 20 each of
-    ppm/bmp/png/jpeg, 40 each of wav/flac/h264/mjpeg, all decode_ok."""
+    payload of every REAL codec (ppm/bmp/png/jpeg/gif image,
+    wav/flac/ima-adpcm/µ-law audio, mjpeg-avi video) must survive a full
+    encode->decode roundtrip against generation-time ground truth; h264 is
+    the deliberate library-fallback row (payload-length check only). The
+    generator cycles codecs in closed form over media_id
+    (multimodal.gen_fake_media), so the per-codec counts are a VALUES
+    literal for the DuckDB oracle: n=240 -> 16 each of ppm/bmp/png/jpeg/gif,
+    20 each of wav/flac/adpcm/ulaw, 40 each of h264/mjpeg, all decode_ok."""
     from olympian_spark.operators.multimodal import decode_verify, gen_fake_media
     from pyspark.sql import functions as F
 
@@ -1196,8 +1311,9 @@ def q_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CODEC_MATRIX_DUCK = """
 SELECT codec, CAST(n AS BIGINT) AS n_payloads, CAST(n AS BIGINT) AS n_decoded,
        TRUE AS all_ok
-FROM (VALUES ('ppm', 20), ('bmp', 20), ('png', 20), ('jpeg', 20),
-             ('wav', 40), ('flac', 40), ('h264', 40), ('mjpeg', 40)) t(codec, n)
+FROM (VALUES ('ppm', 16), ('bmp', 16), ('png', 16), ('jpeg', 16), ('gif', 16),
+             ('wav', 20), ('flac', 20), ('adpcm', 20), ('ulaw', 20),
+             ('h264', 40), ('mjpeg', 40)) t(codec, n)
 """
 
 _MINHASH_DUCK = _SHJ_DUCK.replace(
@@ -1240,6 +1356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q35_multimodal_features"] = q_multimodal
     out["q40_embedding_near_dup"] = q_embedding_near_dup
     out["q41_codec_matrix"] = q_codec_matrix
+    out["q42_bm25"] = q_bm25
+    out["q43_dedup_clusters"] = q_dedup_clusters
     return out
 
 
@@ -1269,4 +1387,11 @@ def oracle_sql() -> dict[str, str]:
     # q41 — the generator's codec cycle is a closed form of media_id, so the
     # per-codec roundtrip counts are a VALUES literal
     out["q41_codec_matrix"] = _CODEC_MATRIX_DUCK
+    # q42 — the SAME closed-form BM25 expression recomputed in SQL; exact
+    # integer corpus stats keep the doubles bitwise-equal across engines
+    out["q42_bm25"] = _BM25_DUCK
+    # q43 — components via recursive-CTE transitive closure over the same
+    # exact pair keyspace (closure is fine at sf0.01; the Spark side runs
+    # the O(log n)-round star algorithm instead)
+    out["q43_dedup_clusters"] = _CLUSTERS_DUCK
     return out

@@ -107,11 +107,16 @@ def main() -> None:
     def _summ(path: str) -> dict:
         with open(path) as f:
             d = json.load(f)
-        return {
+        s = {
             "input_turns": d["input_turns"],
             "tps": {str(lv["cores"]): lv["turns_per_sec"] for lv in d["levels"]},
-            "efficiency": d["scaling_efficiency"],
         }
+        # multi-level studies (e.g. the 16/24/32 rollover probe) have no
+        # single N-vs-4N pairing, hence no efficiency scalar — summarize
+        # what exists instead of crashing the whole bench after the fact
+        if "scaling_efficiency" in d:
+            s["efficiency"] = d["scaling_efficiency"]
+        return s
 
     scaling_path = os.path.join(bench_dir, "scaling_results.json")
     if os.path.exists(scaling_path):

@@ -260,3 +260,143 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Near-dup PAIRS -> clusters: ``(node, component)`` where component is
+    the smallest node id reachable through the pair graph.
+
+    The missing last stage of every dedup strategy in this module: the
+    pair emitters (jaccard / minhash / simhash / embedding) produce edges,
+    but a pipeline keeps ONE document per connected component, not per
+    pair — A~B and B~C must collapse A, B, C together even though (A, C)
+    was never emitted.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014 — public
+    literature), which converges in O(log n) rounds on any graph, vs the
+    O(diameter) of naive label propagation — duplicate chains (near-dup
+    A~B~C~...) are exactly the adversarial case for the naive loop. Each
+    round is two grouped aggregations + joins keyed on node id; high-degree
+    hubs shrink every round by construction, so no star serializes into
+    one task. Lineage is truncated per round with ``localCheckpoint`` (on
+    a cluster, set a checkpoint dir and swap for ``checkpoint`` if
+    executor loss matters). Convergence is detected with an order-
+    insensitive (count, hash-sum) aggregate pair — two scalar actions per
+    round, no edge-set collect.
+    """
+    edges = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("u"),
+            F.col(b_col).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        out = (
+            oriented.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    def _signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-insensitive and overflow-free under ANSI
+            # (summing full-range xxhash64 values overflows long)
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    e = edges.localCheckpoint()
+    sig = _signature(e)
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds (O(log n) expected; this graph would need > 2^30 nodes)"
+        )
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .distinct()
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Keep ONE document per near-dup cluster: the member with the largest
+    ``order_col`` (ties -> smallest id), or the smallest id when no order
+    column is given. Documents absent from ``components`` are singleton
+    clusters and always survive.
+
+    Output: the surviving rows of ``df`` plus ``component`` and
+    ``n_members``. One hash shuffle on component (broadcast-sized
+    components tables join map-side under AQE); the winner per cluster is
+    a ``max_by`` partial aggregate, never a per-cluster sort window.
+    """
+    comp = components.select(
+        F.col("node").alias(id_col), "component"
+    )
+    labeled = df.join(comp, id_col, "left").withColumn(
+        "component", F.coalesce("component", F.col(id_col).cast("long"))
+    )
+    if order_col is None:
+        pick = F.min(id_col).alias("keep_id")
+    else:
+        pick = F.max_by(
+            F.col(id_col),
+            F.struct(F.col(order_col), (-F.col(id_col)).alias("neg_id")),
+        ).alias("keep_id")
+    # winners derives from labeled: rename its key columns so the re-join
+    # is unambiguous (Spark's self-join analyzer rejects labeled.component
+    # == winners.component when both resolve to the same lineage)
+    winners = (
+        labeled.groupBy("component")
+        .agg(pick, F.count(F.lit(1)).alias("n_members"))
+        .withColumnRenamed("component", "_w_component")
+    )
+    return (
+        labeled.join(
+            winners,
+            (F.col("component") == F.col("_w_component"))
+            & (F.col(id_col) == F.col("keep_id")),
+        )
+        .select(*df.columns, "component", "n_members")
+    )

@@ -281,6 +281,10 @@ def decode_image(payload: bytes, meta: dict) -> "np.ndarray":
         return decode_bmp24(payload)
     if codec == "png" or payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if codec == "gif" or payload[:6] in (b"GIF87a", b"GIF89a"):
+        from olympian_spark.functions.gif import decode_gif
+
+        return decode_gif(payload)
     if codec == "jpeg" or payload[:2] == b"\xff\xd8":
         from olympian_spark.functions.jpeg import decode_jpeg
 
@@ -289,12 +293,15 @@ def decode_image(payload: bytes, meta: dict) -> "np.ndarray":
 
 
 def decode_audio(payload: bytes, meta: dict) -> tuple["np.ndarray", int]:
-    """(float32 mono samples, rate). Real decode for PCM WAV and FLAC
-    (functions/flac.py, pure numpy + stdlib); mp3/ogg/aac need
+    """(float32 mono samples, rate). Real decode for PCM/IMA-ADPCM/µ-law
+    WAV (functions/adpcm.py walks the RIFF fmt tag) and FLAC
+    (functions/flac.py), all pure numpy + stdlib; mp3/ogg/aac need
     soundfile/ffmpeg, absent in this container."""
     codec = (meta or {}).get("codec")
-    if codec == "wav" or payload[:4] == b"RIFF":
-        return decode_wav_pcm16(payload)
+    if codec in ("wav", "adpcm", "ulaw") or payload[:4] == b"RIFF":
+        from olympian_spark.functions.adpcm import decode_wav_any
+
+        return decode_wav_any(payload)
     if codec == "flac" or payload[:4] == b"fLaC":
         from olympian_spark.functions.flac import decode_flac
 
@@ -408,13 +415,13 @@ TRUTH_SCHEMA = (
 def gen_fake_media(
     spark: SparkSession, n: int = 200, seed: int = 5, with_truth: bool = False
 ) -> DataFrame:
-    """Deterministic synthetic media table. Images are REAL PPM/BMP payloads
-    (gradient + seeded noise pixels) cycling ppm/bmp/png/jpeg, audio is
-    REAL PCM-16 audio (two sines + noise) alternating WAV and FLAC, and
-    half the videos are REAL MJPEG-in-AVI frame stacks — all decode
-    through the pure-numpy codecs. The other half of the videos stay
-    opaque h264 bytes: that codec genuinely needs ffmpeg, exercising the
-    keyed-hash fallback path.
+    """Deterministic synthetic media table. Images are REAL payloads
+    (gradient + seeded noise pixels) cycling ppm/bmp/png/jpeg/gif, audio
+    is REAL audio (two sines + noise) cycling PCM-WAV / FLAC / IMA-ADPCM
+    / µ-law, and half the videos are REAL MJPEG-in-AVI frame stacks — all
+    decode through the pure-numpy codecs. The other half of the videos
+    stay opaque h264 bytes: that codec genuinely needs ffmpeg, exercising
+    the keyed-hash fallback path.
 
     ``with_truth`` adds a ``truth`` struct recorded from the PRE-encoding
     arrays (pixel sum / quantized-sample sum / dimensions / payload bytes):
@@ -437,8 +444,15 @@ def gen_fake_media(
                 ],
                 axis=2,
             ).astype(np.uint8)
-            codec = ("ppm", "bmp", "png", "jpeg")[(i // 3) % 4]
-            if codec == "jpeg":
+            codec = ("ppm", "bmp", "png", "jpeg", "gif")[(i // 3) % 5]
+            if codec == "gif":
+                from olympian_spark.functions.gif import encode_gif, quantize_332
+
+                # palettized codec: quantize FIRST, record truth from the
+                # quantized pixels, then encode losslessly
+                img = quantize_332(img)
+                payload = encode_gif(img, interlace=bool((i // 15) % 2))
+            elif codec == "jpeg":
                 from olympian_spark.functions.jpeg import (
                     encode_jpeg,
                     encode_jpeg_progressive,
@@ -469,19 +483,34 @@ def gen_fake_media(
                 + 0.2 * np.sin(2 * np.pi * f2 * t)
                 + 0.05 * rng.standard_normal(t.size)
             ).astype(np.float32)
-            codec = ("wav", "flac")[(i // 3) % 2]
+            codec = ("wav", "flac", "adpcm", "ulaw")[(i // 3) % 4]
             if codec == "flac":
                 from olympian_spark.functions.flac import encode_flac
 
                 payload = encode_flac(s, rate)
+            elif codec == "adpcm":
+                from olympian_spark.functions.adpcm import encode_wav_adpcm
+
+                payload, recon = encode_wav_adpcm(s, rate)
+            elif codec == "ulaw":
+                from olympian_spark.functions.adpcm import encode_wav_mulaw
+
+                payload, recon = encode_wav_mulaw(s, rate)
             else:
                 payload = encode_wav_pcm16(s, rate)
             meta = (None, None, int(dur * 1000), codec)
-            # quantize with the encoder's exact formula so the sum is ground
-            # truth for what a correct decoder must reproduce
-            pcm = np.clip(np.round(s.astype(np.float64) * 32768.0), -32768, 32767)
-            truth = (int(pcm.sum(dtype=np.int64)), None, None, int(s.size),
-                     len(payload))
+            # ground truth for what a correct decoder must reproduce: the
+            # encoder's exact quantization for the lossless codecs, the
+            # encoder-tracked reconstruction for the lossy-deterministic
+            # ones (IMA predictor states / µ-law expansion)
+            if codec in ("adpcm", "ulaw"):
+                truth_sum = int(recon.astype(np.int64).sum())
+            else:
+                pcm = np.clip(
+                    np.round(s.astype(np.float64) * 32768.0), -32768, 32767
+                )
+                truth_sum = int(pcm.sum(dtype=np.int64))
+            truth = (truth_sum, None, None, int(s.size), len(payload))
         elif (i // 3) % 2 == 1:
             # REAL video: MJPEG-in-AVI, decodable frame by frame
             from olympian_spark.functions.mjpeg import encode_avi_mjpeg

@@ -94,3 +94,66 @@ def with_fingerprint(df: DataFrame) -> DataFrame:
     whitespace, trimmed) — the exact-dedup key."""
     normalized = F.trim(F.regexp_replace(F.lower(_txt()), r"\s+", " "))
     return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def bm25_score(
+    df: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term set.
+
+    The ranking function every retrieval-backed training-data pipeline
+    ends up needing (hard-negative mining, query-relevance filtering).
+    Uses the BM25+-style smoothed IDF ``ln((N - df + 0.5)/(df + 0.5) + 1)``
+    (always >= 0) with the standard tf saturation / length normalization.
+
+    Scale shape: per-document term frequencies are JVM ``regexp_count``
+    expressions (codegen, no UDFs); the corpus statistics (N, avgdl, one
+    document frequency per term) partially aggregate to a SINGLE row which
+    is broadcast back over the corpus — one reduce-to-one-row exchange
+    plus a map-side join, no corpus shuffle, so the plan is flat at 100 TB.
+
+    Output: ``(id_col, dl, tf_<term>..., bm25_x1e6)`` with the score
+    floor-integerized at 1e-6 (the repo's oracle-exact float convention).
+    """
+    lowered = F.lower(_txt())
+    trimmed = F.trim(_txt())
+    dl = (
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+    )
+    docs = df.select(
+        F.col(id_col),
+        dl.alias("dl"),
+        *[
+            F.regexp_count(lowered, F.lit(rf"\b{t}\b")).cast("long").alias(f"tf_{t}")
+            for t in terms
+        ],
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    scored = docs.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for t in terms:
+        tf = F.col(f"tf_{t}").cast("double")
+        dfreq = F.col(f"df_{t}").cast("double")
+        n = F.col("n_docs").cast("double")
+        idf = F.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        norm = k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+        score = score + idf * tf * (k1 + 1.0) / (tf + norm)
+    return scored.select(
+        id_col,
+        "dl",
+        *[f"tf_{t}" for t in terms],
+        F.floor(score * 1e6).cast("long").alias("bm25_x1e6"),
+    )

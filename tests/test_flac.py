@@ -300,6 +300,6 @@ def test_gen_fake_media_emits_flac(spark):
         r.codec
         for r in media.filter("kind = 'audio'").select("meta.codec").collect()
     }
-    assert codecs == {"wav", "flac"}
+    assert codecs == {"wav", "flac", "adpcm", "ulaw"}
     ok = decode_verify(media).filter("kind = 'audio'").collect()
     assert len(ok) == 16 and all(r.decode_ok for r in ok)

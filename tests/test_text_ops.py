@@ -444,3 +444,45 @@ def test_extract_features_survives_corrupt_payload(spark):
     assert len(out) == 4
     for r in out:
         assert len(r.feature) == 16 and all(0.0 <= x < 1.0 for x in r.feature)
+
+
+def test_bm25_score_matches_closed_form(spark):
+    """bm25_score == hand-computed Okapi BM25 (python math) on a corpus
+    with empty docs, absent terms, and repeated terms; plan stays
+    broadcast-join shaped (no corpus shuffle on the scoring side)."""
+    import math
+
+    from olympian_spark.operators.textstats import bm25_score
+
+    rows = [
+        (0, "spark join spark vector"),
+        (1, "the quick brown fox"),
+        (2, ""),
+        (3, None),
+        (4, "join join join spark"),
+        (5, "vector"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bm25_score(df, ["spark", "join", "zzz"]).collect()}
+
+    docs = {i: (t or "").lower().split() for i, t in rows}
+    dls = {i: len(v) for i, v in docs.items()}
+    n, avgdl = len(rows), sum(dls.values()) / len(rows)
+    k1, b = 1.2, 0.75
+    for did in docs:
+        score = 0.0
+        for term in ["spark", "join", "zzz"]:
+            tf = docs[did].count(term)
+            dfreq = sum(1 for v in docs.values() if term in v)
+            idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+            score += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dls[did] / avgdl))
+        r = out[did]
+        assert r.dl == dls[did]
+        assert r.tf_spark == docs[did].count("spark")
+        assert r.tf_zzz == 0
+        assert abs(r.bm25_x1e6 - math.floor(score * 1e6)) <= 1
+    # docs with no query terms score exactly zero
+    assert out[1].bm25_x1e6 == 0 and out[2].bm25_x1e6 == 0 and out[3].bm25_x1e6 == 0
+    # plan shape: corpus side joins the 1-row stats via broadcast
+    plan = bm25_score(df, ["spark"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
