@@ -1335,6 +1335,189 @@ assert "0.7" in _MINHASH_DUCK and "recall_ok" in _MINHASH_DUCK
 assert "0.7" in _SIMHASH_DUCK and "band_consistent" in _SIMHASH_DUCK
 
 
+def q_distinct_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct users via the MERGEABLE HLL sketch cascade
+    (operators/distinct.py): events -> 1m sketch tier -> 1h (sketch
+    union) -> 1d (sketch union) -> estimate. Distinct counts are not
+    decomposable, so this is the tier model's only scale-correct path —
+    shuffles move (bucket, <=4KB sketch) pairs, never raw keys, and the
+    cascade never rescans raw data. At sf0.01 per-day cardinality
+    (~130 users) sits deep in DataSketches sparse mode, where estimates
+    are EXACT — licensing a value-hash oracle against DuckDB's exact
+    count(DISTINCT) rather than an error-bound aggregate."""
+    from olympian_spark.operators.distinct import (
+        distinct_coarser,
+        distinct_rollup,
+        with_distinct_estimate,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t1m = distinct_rollup(ev, "user_id", grain="minute")
+    t1d = distinct_coarser(distinct_coarser(t1m, "hour"), "day")
+    return with_distinct_estimate(t1d, "n_users").select(
+        F.to_date("bucket_start").alias("day"), "n_rows", "n_users"
+    )
+
+
+_DISTINCT_DUCK = """
+SELECT date_trunc('day', ts) AS day,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+# q45 synthetic maintenance windows: a closed form of the window id so
+# both engines generate the identical interval set (120 windows, starts
+# spread over the events table's 29-day span, durations 30min..6.5h)
+_EPOCH_20240101 = 1704067200
+_W_START_S = "({j} * 176369) % (29 * 86400)"
+_W_DUR_S = "1800 + ({j} * 7919) % 21600"
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events x time-window containment via the bucketed band join
+    (operators/intervals.py): intervals explode to covered hour buckets,
+    events map to ONE bucket, equi-join + exact predicate — never the
+    O(n*m) BroadcastNestedLoop a raw BETWEEN join plans to. Values are
+    quantized to integers (x1000) so per-window sums are order-exact;
+    the oracle runs the naive BETWEEN join, fine at sf0.01."""
+    from olympian_spark.operators.intervals import interval_join
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts",
+        F.round(F.col("value") * 1000).cast("long").alias("v_x1000"),
+    )
+    j = F.col("id")
+    iv = spark.range(120).select(
+        j.alias("w_id"),
+        F.timestamp_seconds(
+            F.lit(_EPOCH_20240101) + F.expr(_W_START_S.format(j="id"))
+        ).alias("w_start"),
+        F.timestamp_seconds(
+            F.lit(_EPOCH_20240101)
+            + F.expr(_W_START_S.format(j="id"))
+            + F.expr(_W_DUR_S.format(j="id"))
+        ).alias("w_end"),
+    )
+    return (
+        interval_join(ev, iv, grain="hour")
+        .groupBy("w_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_x1000").alias("sum_v_x1000"),
+        )
+    )
+
+
+_INTERVAL_DUCK = f"""
+WITH w AS (
+  SELECT CAST(r.range AS BIGINT) AS w_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds({_W_START_S.format(j="r.range")}) AS w_start,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds({_W_START_S.format(j="r.range")}
+                        + {_W_DUR_S.format(j="r.range")}) AS w_end
+  FROM range(120) r
+)
+SELECT w.w_id, count(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_x1000
+FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.w_id
+"""
+
+
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 6h z-score anomaly signal per user over events
+    (operators/window_stats.rolling_zscore): one RANGE window = one
+    exchange. Values quantized x1000 so (sum, sum-of-squares, count) are
+    exact integers; the z expression is then the identical IEEE tree in
+    both engines and floor(z*1e6) hash-matches bitwise."""
+    from olympian_spark.operators.window_stats import rolling_zscore
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    return rolling_zscore(
+        ev, "v", by="user_id", window_s=6 * 3600, min_periods=5
+    ).select("event_id", "zscore_x1e6")
+
+
+_ZSCORE_DUCK = """
+WITH q AS (
+  SELECT event_id, user_id, ts,
+         CAST(CAST(round(value * 1000) AS BIGINT) AS DOUBLE) AS v
+  FROM events
+), s AS (
+  SELECT event_id, v,
+         CAST(count(v) OVER w AS DOUBLE) AS n,
+         sum(v) OVER w AS s,
+         sum(v * v) OVER w AS ssq
+  FROM q
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
+)
+SELECT event_id,
+       CASE WHEN n >= 5 AND (ssq - s * s / n) / (n - 1) > 0
+            THEN CAST(floor((v - s / n) / sqrt((ssq - s * s / n) / (n - 1))
+                            * 1e6) AS BIGINT)
+       END AS zscore_x1e6
+FROM s
+"""
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-term truncated EWMA (alpha=0.3, adjust-normalized) per user
+    (operators/window_stats.ewma): a fixed fan of lag terms in ONE window
+    — no sequential recursion, no UDF. The oracle is the same closed-form
+    weighted sum with identical float weight literals, so floor(y*1e6)
+    matches bitwise; event_id breaks timestamp ties identically."""
+    from olympian_spark.operators.window_stats import ewma
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    return ewma(
+        ev, "v", by="user_id", alpha=0.3, window=16, tiebreak="event_id"
+    ).select("event_id", "ewma_x1e6")
+
+
+def _ewma_duck(alpha: float = 0.3, window: int = 16) -> str:
+    num, den = [], []
+    for k in range(window):
+        wt = repr(float((1.0 - alpha) ** k))
+        x = f"lag(v, {k}) OVER w"
+        num.append(f"coalesce({x} * {wt}, 0.0)")
+        den.append(f"CASE WHEN {x} IS NOT NULL THEN {wt} ELSE 0.0 END")
+    # sum built as a left-fold FROM the 0.0 seed in k order: float addition
+    # is non-associative, so the association must match the Spark side's
+    # expression construction (((0.0 + t0) + t1) + ...) exactly
+    num_e = "0.0"
+    den_e = "0.0"
+    for k in range(window):
+        num_e = f"({num_e} + {num[k]})"
+        den_e = f"({den_e} + {den[k]})"
+    return f"""
+WITH q AS (
+  SELECT event_id, user_id, ts,
+         CAST(CAST(round(value * 1000) AS BIGINT) AS DOUBLE) AS v
+  FROM events
+)
+SELECT event_id,
+       CAST(floor({num_e} / {den_e} * 1e6) AS BIGINT) AS ewma_x1e6
+FROM q
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+_EWMA_DUCK = _ewma_duck()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with
     exact p95 + Gorilla blocks over the events-derived transcripts."""
@@ -1358,6 +1541,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q41_codec_matrix"] = q_codec_matrix
     out["q42_bm25"] = q_bm25
     out["q43_dedup_clusters"] = q_dedup_clusters
+    out["q44_distinct_tiers_hll"] = q_distinct_tiers
+    out["q45_interval_join"] = q_interval_join
+    out["q46_rolling_zscore"] = q_rolling_zscore
+    out["q47_ewma"] = q_ewma
     return out
 
 
@@ -1394,4 +1581,14 @@ def oracle_sql() -> dict[str, str]:
     # exact pair keyspace (closure is fine at sf0.01; the Spark side runs
     # the O(log n)-round star algorithm instead)
     out["q43_dedup_clusters"] = _CLUSTERS_DUCK
+    # q44 — per-day HLL cascade estimates are sparse-mode EXACT at this
+    # cardinality, so the oracle is plain count(DISTINCT)
+    out["q44_distinct_tiers_hll"] = _DISTINCT_DUCK
+    # q45 — closed-form window set; oracle runs the naive BETWEEN join the
+    # engine-side bucketed band join exists to avoid
+    out["q45_interval_join"] = _INTERVAL_DUCK
+    # q46/q47 — integer-quantized inputs make (sum, ssq, count) exact, so
+    # the identical IEEE expression tree matches bitwise at floor(*1e6)
+    out["q46_rolling_zscore"] = _ZSCORE_DUCK
+    out["q47_ewma"] = _EWMA_DUCK
     return out
