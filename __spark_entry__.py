@@ -1518,6 +1518,94 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 _EWMA_DUCK = _ewma_duck()
 
 
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al. VLDB'14) per user over
+    6h buckets (operators/downsample.py): min/max/first/last value + the
+    first/last timestamps — the four points per pixel column that render
+    a line chart error-free. ONE groupBy with map-side-combining
+    min/max/min_by/max_by partials; no window, no sort. (user_id, ts) is
+    unique at every SF (verified), so ts alone orders first/last
+    deterministically in both engines."""
+    from olympian_spark.operators.downsample import m4_downsample
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts",
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    out = m4_downsample(ev, "v", by="user_id", bucket_s=6 * 3600)
+    # parquet timestamps read as NTZ; the operator's internal casts promote
+    # to the session (UTC) TZ type — normalize back so Arrow schemas match
+    return out.select(
+        "user_id",
+        F.col("bucket_start").cast("timestamp_ntz").alias("bucket_start"),
+        "n", "v_min", "v_max", "v_first", "v_last",
+        F.col("ts_first").cast("timestamp_ntz").alias("ts_first"),
+        F.col("ts_last").cast("timestamp_ntz").alias("ts_last"),
+    )
+
+
+_M4_DUCK = """
+SELECT user_id,
+       make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+         AS bucket_start,
+       count(*) AS n,
+       min(v) AS v_min, max(v) AS v_max,
+       arg_min(v, ts) AS v_first, arg_max(v, ts) AS v_last,
+       min(ts) AS ts_first, max(ts) AS ts_last
+FROM (SELECT user_id, ts, CAST(round(value * 1000) AS BIGINT) AS v FROM events)
+GROUP BY 1, 2
+"""
+
+
+def q_coalesce_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: merge overlapping-or-touching intervals per key
+    into maximal disjoint spans (operators/intervals.coalesce_intervals).
+    Running-max-of-prior-ends island detection — robust to intervals
+    nested inside earlier long ones, where lag(end)-based merges split
+    wrongly. 240 synthetic intervals in closed form of the id (8 keys),
+    integer bounds; the oracle replays the identical window logic."""
+    from olympian_spark.operators.intervals import coalesce_intervals
+    from pyspark.sql import functions as F
+
+    iv = spark.range(240).select(
+        (F.col("id") % 8).alias("key"),
+        ((F.col("id") * 104729) % 100000).alias("w_start"),
+        ((F.col("id") * 104729) % 100000 + 500 + (F.col("id") * 7919) % 9000
+         ).alias("w_end"),
+    )
+    return coalesce_intervals(iv, by="key")
+
+
+_COALESCE_DUCK = """
+WITH iv AS (
+  SELECT CAST(r.range % 8 AS BIGINT) AS key,
+         CAST((r.range * 104729) % 100000 AS BIGINT) AS w_start,
+         CAST((r.range * 104729) % 100000
+              + 500 + (r.range * 7919) % 9000 AS BIGINT) AS w_end
+  FROM range(240) r
+), flagged AS (
+  SELECT key, w_start, w_end,
+         CASE WHEN max(w_end) OVER (PARTITION BY key ORDER BY w_start, w_end
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR w_start > max(w_end) OVER (PARTITION BY key ORDER BY w_start, w_end
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), islands AS (
+  SELECT key, w_start, w_end,
+         sum(new_island) OVER (PARTITION BY key ORDER BY w_start, w_end
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+)
+SELECT key, min(w_start) AS island_start, max(w_end) AS island_end,
+       count(*) AS n_merged
+FROM islands GROUP BY key, island
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with
     exact p95 + Gorilla blocks over the events-derived transcripts."""
@@ -1545,6 +1633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q45_interval_join"] = q_interval_join
     out["q46_rolling_zscore"] = q_rolling_zscore
     out["q47_ewma"] = q_ewma
+    out["q48_m4_downsample"] = q_m4_downsample
+    out["q49_coalesce_intervals"] = q_coalesce_intervals
     return out
 
 
@@ -1591,4 +1681,10 @@ def oracle_sql() -> dict[str, str]:
     # the identical IEEE expression tree matches bitwise at floor(*1e6)
     out["q46_rolling_zscore"] = _ZSCORE_DUCK
     out["q47_ewma"] = _EWMA_DUCK
+    # q48 — integer-quantized M4 aggregates are exact; ts-ordered
+    # first/last are deterministic because (user_id, ts) is unique
+    out["q48_m4_downsample"] = _M4_DUCK
+    # q49 — identical closed-form interval set + the same running-max
+    # island logic, all integers
+    out["q49_coalesce_intervals"] = _COALESCE_DUCK
     return out

@@ -19,7 +19,7 @@ O(events + intervals·explode_factor), never O(events·intervals).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _GRAIN_US = {
     "minute": 60_000_000,
@@ -70,3 +70,48 @@ def interval_join(
         else ts < F.col(end_col).cast("timestamp")
     )
     return ev.join(iv, "_bucket").where(cond).drop("_bucket")
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    by: str | list[str] | None = "key",
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+) -> DataFrame:
+    """Merge overlapping-or-touching intervals per key into maximal
+    disjoint islands (the gaps-and-islands problem): retention windows,
+    downtime merging, session span compaction.
+
+    An interval starts a NEW island iff its start exceeds the running
+    max end of every EARLIER interval (ordered by start, then end) —
+    touching intervals (start == previous end) merge, per the engine's
+    half-open convention where they cover a contiguous range. Island id
+    is the running count of new-island flags; one groupBy collapses each
+    island to (island_start, island_end, n_merged).
+
+    Plan: one window (one exchange on the keys + in-partition sort) and
+    one reuse-partitioned groupBy — islands never cross keys, so at
+    100 TB this scales with the per-key interval count, and the running
+    max makes it robust to intervals nested inside earlier long ones
+    (the classic bug in `lag(end)`-based merges).
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    s, e = F.col(start_col), F.col(end_col)
+    w = Window.partitionBy(*keys).orderBy(s, e)
+    prev_max_end = F.max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max_end.isNull() | (s > prev_max_end), 1
+    ).otherwise(0)
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("_island", island)
+        .groupBy(*keys, "_island")
+        .agg(
+            F.min(s).alias("island_start"),
+            F.max(e).alias("island_end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("_island")
+    )
