@@ -1606,6 +1606,136 @@ FROM islands GROUP BY key, island
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals
+    (operators/curation.with_repetition_stats): duplicate-word fraction
+    and top-2-gram fraction, computed per row with higher-order array
+    functions (the top-gram multiplicity is the longest equal run of the
+    sorted 2-gram array via one `aggregate` fold) — zero shuffles, zero
+    explodes; at 100 TB this runs at scan speed. The oracle recomputes
+    the same stats relationally (unnest + group-by) in DuckDB; fractions
+    are exported as floor(frac*1e6) integers on both sides."""
+    from olympian_spark.operators.curation import with_repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_repetition_stats(docs).select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "dup_word_frac_x1e6",
+        "n_2grams",
+        "top_2gram_count",
+        "top_2gram_frac_x1e6",
+    )
+
+
+_REPETITION_DUCK = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')), ' ')
+         END AS ws
+  FROM documents
+), base AS (
+  SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct FROM t
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS g
+  FROM t WHERE len(ws) >= 2
+), gc AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+), topg AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams FROM gc GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_words AS BIGINT) AS n_words,
+       CAST(b.n_distinct AS BIGINT) AS n_distinct_words,
+       CAST(CASE WHEN b.n_words > 0
+                 THEN floor(CAST(b.n_words - b.n_distinct AS DOUBLE) / b.n_words * 1e6)
+                 ELSE 0 END AS BIGINT) AS dup_word_frac_x1e6,
+       CAST(coalesce(tg.n_grams, 0) AS BIGINT) AS n_2grams,
+       CAST(coalesce(tg.top_c, 0) AS BIGINT) AS top_2gram_count,
+       CAST(CASE WHEN coalesce(tg.n_grams, 0) > 0
+                 THEN floor(CAST(tg.top_c AS DOUBLE) / tg.n_grams * 1e6)
+                 ELSE 0 END AS BIGINT) AS top_2gram_frac_x1e6
+FROM base b LEFT JOIN topg tg USING (doc_id)
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling for data mixing
+    (operators/curation.stratified_sample): each language keeps an exact
+    hash slice of its documents via the overflow-safe multiplicative hash
+    ``((id % 1000000007) * 2654435761) % 1e6`` — reproducible across
+    engines, runs, and repartitionings; pure pushed-down filter, no RNG,
+    no shuffle. The oracle applies the identical integer arithmetic."""
+    from olympian_spark.operators.curation import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sampled = stratified_sample(
+        docs,
+        {"en": 0.75, "es": 0.5, "de": 0.25, "fr": 0.125},
+        default_rate=0.0625,
+    )
+    return sampled.select("doc_id", "lang", "source", "n_chars")
+
+
+_STRATIFIED_DUCK = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE ((doc_id % 1000000007) * 2654435761) % 1000000 <
+      CASE lang WHEN 'en' THEN 750000 WHEN 'es' THEN 500000
+                WHEN 'de' THEN 250000 WHEN 'fr' THEN 125000
+                ELSE 62500 END
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/curation.pack_sequences):
+    documents hash-sharded, concatenated in doc_id order per shard, the
+    token stream cut every 512 tokens — the pretraining pack layout.
+    One shuffle on the (uniform) shard key, a per-shard cumulative-sum
+    window, nothing else; n_shards is the output-shard parallelism knob.
+    The oracle replays the identical window arithmetic in DuckDB."""
+    from olympian_spark.operators.curation import pack_sequences
+    from olympian_spark.operators.textstats import with_token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_sequences(
+        with_token_counts(docs), token_col="ws_tokens", budget=512, n_shards=4
+    )
+    return packed.select(
+        "doc_id", "shard", "ws_tokens", "pack_id", "pack_offset", "n_packs_spanned"
+    )
+
+
+_PACK_DUCK = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+'))
+         END AS ws_tokens,
+         CAST(((doc_id % 1000000007) * 2654435761) % 1000000 % 4 AS INT) AS shard
+  FROM documents
+), w AS (
+  SELECT doc_id, shard, ws_tokens,
+         sum(ws_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - ws_tokens AS start
+  FROM d
+)
+SELECT doc_id, shard,
+       CAST(ws_tokens AS BIGINT) AS ws_tokens,
+       CAST(floor(start / 512) AS BIGINT) AS pack_id,
+       CAST(start % 512 AS BIGINT) AS pack_offset,
+       CAST(CASE WHEN ws_tokens > 0
+                 THEN floor((start + ws_tokens - 1) / 512) - floor(start / 512) + 1
+                 ELSE 0 END AS BIGINT) AS n_packs_spanned
+FROM w
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with
     exact p95 + Gorilla blocks over the events-derived transcripts."""
@@ -1635,6 +1765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q47_ewma"] = q_ewma
     out["q48_m4_downsample"] = q_m4_downsample
     out["q49_coalesce_intervals"] = q_coalesce_intervals
+    out["q50_repetition_stats"] = q_repetition_stats
+    out["q51_stratified_sample"] = q_stratified_sample
+    out["q52_pack_sequences"] = q_pack_sequences
     return out
 
 
@@ -1687,4 +1820,11 @@ def oracle_sql() -> dict[str, str]:
     # q49 — identical closed-form interval set + the same running-max
     # island logic, all integers
     out["q49_coalesce_intervals"] = _COALESCE_DUCK
+    # q50 — repetition stats recomputed relationally (unnest + group-by);
+    # both sides floor(frac*1e6), integer counts exact
+    out["q50_repetition_stats"] = _REPETITION_DUCK
+    # q51/q52 — identical overflow-safe integer hash arithmetic; q52 adds
+    # the same cumulative-sum window
+    out["q51_stratified_sample"] = _STRATIFIED_DUCK
+    out["q52_pack_sequences"] = _PACK_DUCK
     return out

@@ -1,0 +1,186 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Three operations every web-scale curation pipeline runs between raw
+documents and training shards, all expressed as pure DataFrame
+expressions / one bounded window shuffle so they hold at 100 TB:
+
+* :func:`with_repetition_stats` — Gopher-style intra-document repetition
+  signals (duplicate-word fraction, most-frequent-2-gram fraction; see
+  Rae et al., "Scaling Language Models: Methods, Analysis & Insights
+  from Training Gopher", arXiv:2112.11446 §A.2's repetition filters).
+  Per-row higher-order-function compute, zero shuffles.
+* :func:`stratified_sample` — deterministic per-stratum downsampling
+  (data mixing): each stratum keeps an exact-rate hash slice of its
+  rows. Pure filter, zero shuffles, reproducible across runs/engines.
+* :func:`pack_sequences` — concat-and-chunk sequence packing: documents
+  are concatenated in deterministic order within hash shards and split
+  into fixed token-budget packs (the standard LLM pretraining batch
+  layout). One shuffle on the shard key; shard count = output shard
+  count, so parallelism is caller-controlled and skew-free by
+  construction (multiplicative hash sharding).
+
+Everything is JVM-side (codegen) and SQL-oracle checkable; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Knuth multiplicative constant (2^32 / phi); the pre-reduction by a
+# large prime keeps id * KNUTH inside int64 for ANY int64 id — DuckDB
+# raises on BIGINT overflow and Spark wraps, so staying in range is what
+# keeps the two engines (and any future ANSI-mode Spark) bit-identical.
+_KNUTH = 2654435761
+_PRE_MOD = 1_000_000_007  # prime > any per-stratum resolution we use
+_RATE_MOD = 1_000_000  # keep-rate resolution: 1e-6
+
+
+def _hash_unit(id_col: Column) -> Column:
+    """Deterministic uniform-ish value in [0, _RATE_MOD) from an id.
+
+    ``pmod(pmod(id, P) * KNUTH, 1e6)``: overflow-safe (product ≤
+    (P-1)·KNUTH ≈ 2.66e18 < 2^63), engine-portable (both `%` usages see
+    non-negative operands), and decorrelated from arithmetic id patterns
+    by the multiplicative constant.
+    """
+    return F.pmod(F.pmod(id_col, F.lit(_PRE_MOD)) * F.lit(_KNUTH), F.lit(_RATE_MOD))
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals (Gopher-style quality filters).
+
+    Adds, per row:
+
+    * ``n_words`` / ``n_distinct_words`` — whitespace words and their
+      distinct count;
+    * ``dup_word_frac_x1e6`` — floor(1e6 · (1 − distinct/total)), 0 for
+      empty documents;
+    * ``n_2grams`` / ``top_2gram_count`` — adjacent word 2-grams and the
+      multiplicity of the most frequent one;
+    * ``top_2gram_frac_x1e6`` — floor(1e6 · top/total), 0 when < 2 words.
+
+    The top-2-gram count is the longest equal run of the *sorted* 2-gram
+    array, computed with a single ``aggregate`` fold — O(n log n) per
+    row, fully inside codegen, no explode and therefore no shuffle: at
+    100 TB this runs at scan speed. Fractions are exported as floored
+    integers so DuckDB and Spark hash identically (both evaluate the
+    same IEEE double division).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    norm = F.trim(F.regexp_replace(txt, r"\s+", " "))
+    ws = F.when(F.length(norm) == F.lit(0), F.expr("CAST(array() AS ARRAY<STRING>)")).otherwise(
+        F.split(norm, " ")
+    )
+    out = df.withColumn("_ws", ws)
+    n_words = F.size("_ws").cast("long")
+    n_distinct = F.size(F.array_distinct("_ws")).cast("long")
+    grams = F.when(
+        F.size("_ws") >= 2,
+        F.expr("transform(sequence(0, size(_ws) - 2), i -> concat(_ws[i], ' ', _ws[i + 1]))"),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    out = out.withColumn("_grams", grams)
+    # longest equal run over the sorted gram array = max multiplicity
+    top = F.expr(
+        """
+        aggregate(
+          array_sort(_grams),
+          named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+          (acc, x) -> named_struct(
+            'prev', x,
+            'run',  IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L),
+            'best', GREATEST(acc.best,
+                             IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L))),
+          acc -> acc.best)
+        """
+    )
+    n_grams = F.size("_grams").cast("long")
+    dup_frac = F.when(
+        n_words > 0,
+        F.floor((n_words - n_distinct).cast("double") / n_words.cast("double") * F.lit(1e6)),
+    ).otherwise(F.lit(0))
+    top_frac = F.when(
+        n_grams > 0, F.floor(top.cast("double") / n_grams.cast("double") * F.lit(1e6))
+    ).otherwise(F.lit(0))
+    return (
+        out.withColumn("n_words", n_words)
+        .withColumn("n_distinct_words", n_distinct)
+        .withColumn("dup_word_frac_x1e6", dup_frac.cast("long"))
+        .withColumn("n_2grams", n_grams)
+        .withColumn("top_2gram_count", F.when(n_grams > 0, top).otherwise(F.lit(0)).cast("long"))
+        .withColumn("top_2gram_frac_x1e6", top_frac.cast("long"))
+        .drop("_ws", "_grams")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (data mixing).
+
+    Keeps a row iff ``hash_unit(id) < rate[stratum] * 1e6`` — every run,
+    every engine, and every re-partitioning selects the SAME rows, which
+    is what makes ablation datasets reproducible. Rates are quantized to
+    1e-6. Pure filter: Catalyst pushes it into the scan, no shuffle, no
+    RNG state, and adding a stratum later never changes which rows the
+    existing strata keep (the hash ignores the stratum).
+    """
+    h = _hash_unit(F.col(id_col))
+    threshold: Column = F.lit(int(round(default_rate * _RATE_MOD)))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(stratum_col) == F.lit(stratum), F.lit(int(round(rate * _RATE_MOD)))
+        ).otherwise(threshold)
+    return df.where(h < threshold)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "ws_tokens",
+    budget: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing into fixed token budgets.
+
+    Documents are hash-assigned to ``n_shards`` shards, concatenated in
+    ``id_col`` order within each shard, and the resulting token stream is
+    cut every ``budget`` tokens — the standard pretraining pack layout
+    (documents may straddle pack boundaries). Adds:
+
+    * ``shard`` — multiplicative-hash shard id;
+    * ``pack_id`` — pack containing the document's FIRST token;
+    * ``pack_offset`` — token offset of the document inside that pack;
+    * ``n_packs_spanned`` — how many packs the document crosses (0 for
+      empty documents).
+
+    Scale shape: ONE shuffle keyed on ``shard`` (uniform by hashing), a
+    per-shard sort for the running sum, nothing else. In production
+    ``n_shards`` is the output shard count, so the window partitions are
+    exactly the units of work a 1000-executor cluster wants. The running
+    sum is a window cumulative — map-side nothing to combine, but the
+    sort is the deterministic-order requirement itself, not overhead.
+    """
+    tokens = F.col(token_col).cast("long")
+    shard = F.pmod(_hash_unit(F.col(id_col)), F.lit(n_shards)).cast("int")
+    out = df.withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = (F.sum(tokens).over(w) - tokens).cast("long")
+    out = out.withColumn("_start", offset)
+    pack_id = F.floor(F.col("_start") / F.lit(budget)).cast("long")
+    last_pack = F.floor((F.col("_start") + tokens - 1) / F.lit(budget)).cast("long")
+    spans = F.when(tokens > 0, last_pack - pack_id + 1).otherwise(F.lit(0)).cast("long")
+    return (
+        out.withColumn("pack_id", pack_id)
+        .withColumn("pack_offset", F.pmod(F.col("_start"), F.lit(budget)).cast("long"))
+        .withColumn("n_packs_spanned", spans)
+        .drop("_start")
+    )

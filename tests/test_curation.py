@@ -1,0 +1,147 @@
+"""Unit tests for operators/curation.py: repetition stats, stratified
+sampling, sequence packing."""
+
+import os
+import sys
+from collections import Counter
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from olympian_spark.operators.curation import (  # noqa: E402
+    _KNUTH,
+    _PRE_MOD,
+    _RATE_MOD,
+    pack_sequences,
+    stratified_sample,
+    with_repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_repetition_edge_cases(spark):
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "one"),
+        (4, "a a a a"),
+        (5, "x y x y x"),
+        (6, "all words here are distinct tokens"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in with_repetition_stats(_docs(spark, rows)).collect()
+    }
+    for d in (0, 1, 2):
+        assert out[d]["n_words"] == 0
+        assert out[d]["dup_word_frac_x1e6"] == 0
+        assert out[d]["n_2grams"] == 0
+        assert out[d]["top_2gram_count"] == 0
+        assert out[d]["top_2gram_frac_x1e6"] == 0
+    assert out[3]["n_words"] == 1 and out[3]["n_2grams"] == 0
+    # "a a a a": 4 words 1 distinct -> dup 3/4; 3 grams all "a a" -> top 3/3
+    assert out[4]["n_words"] == 4
+    assert out[4]["n_distinct_words"] == 1
+    assert out[4]["dup_word_frac_x1e6"] == 750000
+    assert out[4]["n_2grams"] == 3
+    assert out[4]["top_2gram_count"] == 3
+    assert out[4]["top_2gram_frac_x1e6"] == 1000000
+    # "x y x y x": grams [x y, y x, x y, y x] -> top 2 of 4
+    assert out[5]["top_2gram_count"] == 2
+    assert out[5]["n_2grams"] == 4
+    assert out[5]["top_2gram_frac_x1e6"] == 500000
+    assert out[6]["dup_word_frac_x1e6"] == 0
+    assert out[6]["top_2gram_count"] == 1
+
+
+def test_repetition_matches_python_counter(spark):
+    """Property: the aggregate-fold top-2-gram equals a Python Counter on
+    pseudo-random word-salad docs."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(50)
+    ]
+    got = {
+        r["doc_id"]: r for r in with_repetition_stats(_docs(spark, rows)).collect()
+    }
+    for i, text in rows:
+        words = text.split() if text.strip() else []
+        grams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+        assert got[i]["n_words"] == len(words)
+        assert got[i]["n_distinct_words"] == len(set(words))
+        assert got[i]["n_2grams"] == len(grams)
+        top = max(Counter(grams).values()) if grams else 0
+        assert got[i]["top_2gram_count"] == top
+
+
+def test_stratified_sample_exact_and_partition_invariant(spark):
+    df = spark.range(0, 5000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'es' ELSE 'zz' END AS lang",
+    )
+    rates = {"en": 0.5, "es": 0.25}
+    kept = stratified_sample(df, rates, default_rate=0.1)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # reference computation
+    exp = []
+    for i in range(5000):
+        lang = "en" if i % 3 == 0 else ("es" if i % 3 == 1 else "zz")
+        h = (i % _PRE_MOD) * _KNUTH % _RATE_MOD
+        thr = {"en": 500000, "es": 250000}.get(lang, 100000)
+        if h < thr:
+            exp.append(i)
+    assert ids == exp
+    # partition-invariance: repartitioned input keeps the SAME rows
+    ids2 = sorted(
+        r["doc_id"] for r in stratified_sample(df.repartition(13), rates, default_rate=0.1).collect()
+    )
+    assert ids2 == ids
+    # approximate rate sanity (binomial tolerance)
+    n_en = sum(1 for i in ids if i % 3 == 0)
+    assert abs(n_en / (5000 / 3) - 0.5) < 0.05
+
+
+def test_pack_sequences_contract(spark):
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 400) for i in range(200)] + [(200, 0)],
+        "doc_id BIGINT, ws_tokens BIGINT",
+    )
+    out = pack_sequences(df, budget=512, n_shards=4).collect()
+    assert len(out) == 201
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        start = 0
+        for r in rows:
+            assert r["pack_id"] == start // 512
+            assert r["pack_offset"] == start % 512
+            if r["ws_tokens"] == 0:
+                assert r["n_packs_spanned"] == 0
+            else:
+                last = (start + r["ws_tokens"] - 1) // 512
+                assert r["n_packs_spanned"] == last - r["pack_id"] + 1
+            start += r["ws_tokens"]
+    # every pack except each shard's last is exactly full: total tokens
+    # before any doc is a running sum, so coverage is contiguous
+    for shard, rows in by_shard.items():
+        total = sum(r["ws_tokens"] for r in rows)
+        max_pack = max((r["pack_id"] for r in rows), default=0)
+        assert total >= max_pack * 512  # last pack starts within the stream
+
+
+def test_pack_sequences_plan_single_shuffle(spark):
+    df = spark.range(1000).selectExpr("id AS doc_id", "id % 50 AS ws_tokens")
+    plan = pack_sequences(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
