@@ -1736,6 +1736,64 @@ FROM w
 """
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary table, top-100 tokens (operators/textstats.
+    vocab_topk): explode → hash aggregate with map-side partial combine
+    (per-partition partials bounded by |vocab|, not corpus size) →
+    TakeOrderedAndProject top-k (per-partition heaps, no global sort).
+    Deterministic cut: (count desc, token asc) and tokens are unique.
+    The oracle is the same group-count + order + limit in DuckDB."""
+    from olympian_spark.operators.textstats import vocab_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_topk(docs, k=100)
+
+
+_VOCAB_DUCK = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS n
+FROM toks GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 100
+"""
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split (operators/curation.
+    leakage_safe_split): duplicate groups (exact-dedup fingerprint) are
+    assigned to a split WHOLE via the hash of the group representative
+    (min doc_id), so byte-identical documents can never straddle
+    train/test and contaminate evals. One fingerprint-keyed shuffle.
+    The oracle replays the identical min-window + hash arithmetic."""
+    from olympian_spark.operators.curation import leakage_safe_split
+    from olympian_spark.operators.textstats import with_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = leakage_safe_split(with_fingerprint(docs), test_frac=0.2)
+    return out.select("doc_id", "fingerprint", "rep_id", "split")
+
+
+_LEAKAGE_DUCK = """
+WITH f AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+), r AS (
+  SELECT doc_id, fingerprint,
+         min(doc_id) OVER (PARTITION BY fingerprint) AS rep_id
+  FROM f
+)
+SELECT doc_id, fingerprint, CAST(rep_id AS BIGINT) AS rep_id,
+       CASE WHEN ((rep_id % 1000000007) * 2654435761) % 1000000 < 200000
+            THEN 'test' ELSE 'train' END AS split
+FROM r
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with
     exact p95 + Gorilla blocks over the events-derived transcripts."""
@@ -1768,6 +1826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q50_repetition_stats"] = q_repetition_stats
     out["q51_stratified_sample"] = q_stratified_sample
     out["q52_pack_sequences"] = q_pack_sequences
+    out["q53_vocab_topk"] = q_vocab_topk
+    out["q54_leakage_split"] = q_leakage_split
     return out
 
 
@@ -1827,4 +1887,8 @@ def oracle_sql() -> dict[str, str]:
     # the same cumulative-sum window
     out["q51_stratified_sample"] = _STRATIFIED_DUCK
     out["q52_pack_sequences"] = _PACK_DUCK
+    # q53 — same group-count + deterministic (n desc, token asc) top-100;
+    # q54 — same fingerprint min-window + representative-hash arithmetic
+    out["q53_vocab_topk"] = _VOCAB_DUCK
+    out["q54_leakage_split"] = _LEAKAGE_DUCK
     return out

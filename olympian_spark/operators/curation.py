@@ -184,3 +184,35 @@ def pack_sequences(
         .withColumn("n_packs_spanned", spans)
         .drop("_start")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    test_frac: float = 0.1,
+    key_col: str = "fingerprint",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/test split that never separates duplicate documents.
+
+    Naive per-document hash splits leak: two byte-identical (or
+    same-fingerprint) documents can land one in train, one in test, and
+    the eval is contaminated. Here every duplicate group (rows sharing
+    ``key_col``, e.g. the exact-dedup fingerprint) is assigned WHOLE:
+    the group representative is ``min(id_col)`` within the group, and
+    the split is decided by the representative's hash — so membership is
+    deterministic, engine-portable, and a document's split never changes
+    when more duplicates of it arrive.
+
+    Adds ``rep_id`` (the group representative) and ``split``
+    ('train'/'test'). Scale shape: ONE hash shuffle on ``key_col`` for
+    the min-window; fingerprint groups are content-hash-sized (tiny,
+    unskewed), so the window never sees a hot partition the way a
+    popularity key would.
+    """
+    w = Window.partitionBy(key_col)
+    rep = F.min(F.col(id_col)).over(w)
+    threshold = int(round(test_frac * _RATE_MOD))
+    split = F.when(_hash_unit(rep) < F.lit(threshold), F.lit("test")).otherwise(
+        F.lit("train")
+    )
+    return df.withColumn("rep_id", rep.cast("long")).withColumn("split", split)

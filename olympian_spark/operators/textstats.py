@@ -157,3 +157,31 @@ def bm25_score(
         *[f"tf_{t}" for t in terms],
         F.floor(score * 1e6).cast("long").alias("bm25_x1e6"),
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    min_count: int = 1,
+) -> DataFrame:
+    """Global token-frequency table, top-k (vocabulary building).
+
+    Lower-cased whitespace tokens, counted corpus-wide, top ``k`` by
+    (count desc, token asc — deterministic tiebreak). The scale shape is
+    the one that works at 100 TB: explode feeds a hash aggregate with
+    map-side partial combine (per-partition partials are at most
+    |vocab| rows regardless of corpus size), and the global top-k is a
+    TakeOrderedAndProject — per-partition heaps, no full sort, no
+    single-task collect.
+    """
+    trimmed = F.trim(F.lower(_txt()))
+    toks = F.when(F.length(trimmed) == 0, F.expr("CAST(array() AS ARRAY<STRING>)")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)

@@ -145,3 +145,39 @@ def test_pack_sequences_plan_single_shuffle(spark):
     df = spark.range(1000).selectExpr("id AS doc_id", "id % 50 AS ws_tokens")
     plan = pack_sequences(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_vocab_topk_determinism_and_ties(spark):
+    from olympian_spark.operators.textstats import vocab_topk
+
+    rows = [
+        (0, "b a b c a b"),
+        (1, "a c d D d"),
+        (2, None),
+        (3, "   "),
+    ]
+    out = [(r["token"], r["n"]) for r in vocab_topk(_docs(spark, rows), k=3).collect()]
+    # counts: a=3 b=3 c=2 d=3 (lowercased) -> top3 by (n desc, token asc): a,b,d
+    assert out == [("a", 3), ("b", 3), ("d", 3)]
+    full = {r["token"]: r["n"] for r in vocab_topk(_docs(spark, rows), k=10).collect()}
+    assert full == {"a": 3, "b": 3, "d": 3, "c": 2}
+
+
+def test_leakage_split_groups_never_straddle(spark):
+    from olympian_spark.operators.curation import leakage_safe_split
+    from olympian_spark.operators.textstats import with_fingerprint
+
+    # 300 docs over 100 distinct texts -> triples of exact duplicates
+    rows = [(i, f"doc body number {i % 100}") for i in range(300)]
+    out = leakage_safe_split(
+        with_fingerprint(_docs(spark, rows)), test_frac=0.3
+    ).collect()
+    by_fp = {}
+    for r in out:
+        by_fp.setdefault(r["fingerprint"], set()).add(r["split"])
+        assert r["rep_id"] == min(i for i in range(300) if i % 100 == r["rep_id"] % 100)
+    assert all(len(s) == 1 for s in by_fp.values())  # whole-group assignment
+    n_test_groups = sum(
+        1 for fp, s in by_fp.items() if s == {"test"}
+    )
+    assert 10 <= n_test_groups <= 50  # ~30 of 100, binomial slack
