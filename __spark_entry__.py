@@ -1794,6 +1794,37 @@ FROM r
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.semantic_dedup),
+    driver-checkable via the q40 planted-duplicate trick: vec_id < 20 are
+    duplicated at id+1_000_000 with IDENTICAL vectors. Identical vectors
+    always share a k-means cluster (same argmax), cos = 1 >= 0.999, and
+    natural >= 0.999 pairs do not occur in random 64-dim embeddings — so
+    exactly the 20 planted copies must be marked duplicates of their
+    originals and every other row kept. The engine path exercised is the
+    real one: bounded-sample k-means, vectorized assignment, salted
+    in-cluster join, min-id representative."""
+    from olympian_spark.operators.similarity import semantic_dedup
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dups = emb.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    aug = emb.unionByName(dups)
+    return semantic_dedup(aug, dim=64, threshold=0.999, n_lists=16)
+
+
+_SEMDEDUP_DUCK = """
+SELECT CAST(vec_id AS BIGINT) AS vec_id, FALSE AS is_dup,
+       CAST(NULL AS BIGINT) AS dup_of
+FROM embeddings
+UNION ALL
+SELECT CAST(vec_id + 1000000 AS BIGINT), TRUE, CAST(vec_id AS BIGINT)
+FROM embeddings WHERE vec_id < 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with
     exact p95 + Gorilla blocks over the events-derived transcripts."""
@@ -1828,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q52_pack_sequences"] = q_pack_sequences
     out["q53_vocab_topk"] = q_vocab_topk
     out["q54_leakage_split"] = q_leakage_split
+    out["q55_semantic_dedup"] = q_semantic_dedup
     return out
 
 
@@ -1891,4 +1923,7 @@ def oracle_sql() -> dict[str, str]:
     # q54 — same fingerprint min-window + representative-hash arithmetic
     out["q53_vocab_topk"] = _VOCAB_DUCK
     out["q54_leakage_split"] = _LEAKAGE_DUCK
+    # q55 — planted-exact-duplicate closed-form keyspace (q40 trick):
+    # identical vectors share every k-means cluster deterministically
+    out["q55_semantic_dedup"] = _SEMDEDUP_DUCK
     return out

@@ -464,3 +464,102 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_lists: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+    sample_fraction: float = 1.0,
+    sample_rows: int = 100_000,
+    max_cluster_size: int | None = 10_000,
+    seed: int = 13,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public technique: Abbas et
+    al., "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): spherical k-means clusters the
+    embedding space, then ONLY within each cluster are cosine
+    similarities computed; a vector whose cosine to a lower-id cluster
+    member reaches ``threshold`` is marked a duplicate of its smallest
+    such neighbour (deterministic representative = min id).
+
+    Output: ``(vec_id, is_dup, dup_of)`` for every corpus row; ``dup_of``
+    is NULL for keepers.
+
+    Scale shape: centroid training is a bounded driver-side sample
+    (:func:`train_ivf_centroids`), assignment is one vectorized
+    pandas-UDF matmul per Arrow batch (narrow map, no shuffle), and the
+    quadratic step is confined to clusters — over-cap clusters are salted
+    into ``ceil(size / cap)`` hash sub-clusters exactly like
+    :func:`embedding_near_dup_pairs` (an all-identical hot cluster still
+    marks every member, which is the dedup use case). One shuffle for the
+    in-cluster join, one for the per-duplicate min — both keyed on
+    cluster/doc ids, never all-pairs.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(
+            corpus, dim, n_lists, vec_col, sample_fraction, sample_rows, seed=seed
+        )
+    )
+    C = np.asarray(C, dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        M = np.asarray([np.asarray(x, np.float64) for x in v], dtype=np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        M = M / np.where(norms == 0, 1.0, norms)[:, None]
+        return pd.Series((M @ C.T).argmax(1).astype(np.int32))
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).withColumn("list_id", assign(F.col("v")))
+    if max_cluster_size:
+        freq = c.groupBy("list_id").agg(F.count(F.lit(1)).alias("_bn"))
+        c = c.join(F.broadcast(freq), "list_id").withColumn(
+            "_salt",
+            F.when(F.col("_bn") <= max_cluster_size, F.lit(0)).otherwise(
+                F.pmod(
+                    F.xxhash64(F.col("vec_id")),
+                    F.ceil(F.col("_bn") / F.lit(max_cluster_size)).cast("long"),
+                )
+            ),
+        ).drop("_bn")
+    else:
+        c = c.withColumn("_salt", F.lit(0))
+    a = c.alias("a")
+    b = c.alias("b")
+    cos = (
+        _dot(F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>"))
+        / (
+            _norm(F.col("a.v").cast("array<double>"))
+            * _norm(F.col("b.v").cast("array<double>"))
+        )
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a._salt") == F.col("b._salt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(F.round(cos, 6) >= threshold)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("a.vec_id")).alias("dup_of"))
+    )
+    base = c.select("vec_id")
+    return (
+        base.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            F.col("dup_of").cast("long").alias("dup_of"),
+        )
+    )

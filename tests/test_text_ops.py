@@ -486,3 +486,53 @@ def test_bm25_score_matches_closed_form(spark):
     # plan shape: corpus side joins the 1-row stats via broadcast
     plan = bm25_score(df, ["spark"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semantic_dedup_clusters_and_salting(spark):
+    """Four well-separated axis clusters of near-identical vectors: in each
+    cluster every member dups to the min id; keepers = 4 cluster minima.
+    Re-running with a tiny max_cluster_size exercises the salted path and
+    must still MARK every non-representative member of an all-identical
+    cluster (the dedup use case)."""
+    import numpy as np
+
+    from olympian_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for c in range(4):
+        base = np.zeros(16)
+        base[c * 4] = 1.0
+        for j in range(25):
+            v = base + rng.normal(0, 1e-4, 16)  # cos ~ 1 within cluster
+            rows.append((c * 100 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    # pinned codebook (the four axis directions): trained k-means may split
+    # a semantic cluster across cells — correct SemDeDup behaviour, but the
+    # test wants the deterministic assignment/join/min path
+    C = np.zeros((4, 16))
+    for c in range(4):
+        C[c, c * 4] = 1.0
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, dim=16, threshold=0.99, centroids=C).collect()
+    }
+    assert len(out) == 100
+    keepers = [i for i, r in out.items() if not r["is_dup"]]
+    assert sorted(keepers) == [0, 100, 200, 300]
+    for i, r in out.items():
+        if r["is_dup"]:
+            assert r["dup_of"] == (i // 100) * 100
+    # salted path: identical vectors, cap forces sub-clusters; every
+    # non-min member must still be marked (min of its salt group)
+    ident = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(40)], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    out2 = semantic_dedup(
+        ident, dim=8, threshold=0.99, n_lists=2, sample_rows=40, max_cluster_size=10
+    ).collect()
+    n_dup = sum(1 for r in out2 if r["is_dup"])
+    assert n_dup >= 36  # at most one keeper per salt sub-group (<= 4 groups)
+    for r in out2:
+        if r["is_dup"]:
+            assert r["dup_of"] < r["vec_id"]
