@@ -1825,6 +1825,48 @@ FROM embeddings WHERE vec_id < 20
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/curation.decontaminate):
+    documents with doc_id < 10 act as the benchmark set; every other
+    document is flagged if it shares any word 3-gram with it. The
+    benchmark's distinct shingle set broadcasts; the training side is
+    matched map-side (never shuffled), only the hit set aggregates.
+    The oracle recomputes the same shingle join relationally."""
+    from olympian_spark.operators.curation import decontaminate
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 10)
+    train = docs.filter(F.col("doc_id") >= 10)
+    return decontaminate(train, bench, n=3)
+
+
+_DECONTAM_DUCK = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), bsh AS (
+  SELECT DISTINCT array_to_string(toks[i : i + 2], ' ') AS shingle
+  FROM tok, UNNEST(generate_series(1, len(toks) - 2)) AS g(i)
+  WHERE doc_id < 10 AND len(toks) >= 3
+), tsh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle
+  FROM tok, UNNEST(generate_series(1, len(toks) - 2)) AS g(i)
+  WHERE doc_id >= 10 AND len(toks) >= 3
+), hits AS (
+  SELECT t.doc_id, count(*) AS n_hits
+  FROM tsh t JOIN bsh USING (shingle) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_bench_shingles,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with
     exact p95 + Gorilla blocks over the events-derived transcripts."""
@@ -1860,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q53_vocab_topk"] = q_vocab_topk
     out["q54_leakage_split"] = q_leakage_split
     out["q55_semantic_dedup"] = q_semantic_dedup
+    out["q56_decontaminate"] = q_decontaminate
     return out
 
 
@@ -1926,4 +1969,6 @@ def oracle_sql() -> dict[str, str]:
     # q55 — planted-exact-duplicate closed-form keyspace (q40 trick):
     # identical vectors share every k-means cluster deterministically
     out["q55_semantic_dedup"] = _SEMDEDUP_DUCK
+    # q56 — same 3-gram shingle join recomputed relationally
+    out["q56_decontaminate"] = _DECONTAM_DUCK
     return out

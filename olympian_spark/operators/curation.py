@@ -216,3 +216,65 @@ def leakage_safe_split(
         F.lit("train")
     )
     return df.withColumn("rep_id", rep.cast("long")).withColumn("split", split)
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram with a benchmark/eval set (the published recipe — e.g.
+    GPT-3's 13-gram eval-overlap filter, Brown et al. arXiv:2005.14165
+    App. C — is exactly this shape with n=13).
+
+    Output: one row per training document — ``(id_col, n_bench_shingles,
+    contaminated)`` where ``n_bench_shingles`` counts DISTINCT benchmark
+    n-grams found in the document.
+
+    Scale shape: the benchmark side is small by definition (eval sets are
+    thousands of documents, not billions), so its distinct shingle set is
+    BROADCAST and the training corpus is matched map-side — the 100 TB
+    side is never shuffled; only the (tiny) hit set aggregates. Per-doc
+    shingles are deduplicated row-locally (``array_distinct``) before the
+    explode so in-document repetition never inflates the exchange.
+    """
+
+    def shingle_arr(df: DataFrame) -> Column:
+        toks = F.filter(
+            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+            lambda x: x != F.lit(""),
+        )
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                )
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+    bench_sh = (
+        benchmark.select(F.explode(shingle_arr(benchmark)).alias("shingle"))
+        .distinct()
+    )
+    train_sh = train.select(
+        F.col(id_col), F.explode(shingle_arr(train)).alias("shingle")
+    )
+    hits = (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bench_shingles"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bench_shingles"), F.lit(0)).cast("long").alias("n_bench_shingles"),
+            (F.coalesce(F.col("n_bench_shingles"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -181,3 +181,30 @@ def test_leakage_split_groups_never_straddle(spark):
         1 for fp, s in by_fp.items() if s == {"test"}
     )
     assert 10 <= n_test_groups <= 50  # ~30 of 100, binomial slack
+
+
+def test_decontaminate_flags_and_plan(spark):
+    from olympian_spark.operators.curation import decontaminate
+
+    bench = _docs(spark, [(0, "alpha beta gamma delta")])
+    train = _docs(
+        spark,
+        [
+            (10, "x alpha beta gamma y"),        # shares "alpha beta gamma"
+            (11, "beta gamma delta"),             # shares "beta gamma delta"
+            (12, "alpha beta x gamma delta"),     # no full 3-gram shared
+            (13, "alpha beta gamma delta"),       # shares two 3-grams
+            (14, ""),
+            (15, None),
+        ],
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, bench, n=3).collect()}
+    assert len(out) == 6
+    assert out[10]["contaminated"] and out[10]["n_bench_shingles"] == 1
+    assert out[11]["contaminated"] and out[11]["n_bench_shingles"] == 1
+    assert not out[12]["contaminated"] and out[12]["n_bench_shingles"] == 0
+    assert out[13]["n_bench_shingles"] == 2
+    assert not out[14]["contaminated"] and not out[15]["contaminated"]
+    # the 100-TB side must never shuffle for the match: benchmark broadcast
+    plan = decontaminate(train, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
