@@ -1867,6 +1867,64 @@ LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/curation.mask_pii): emails / IPv4 / phone
+    spans replaced with typed placeholders + per-kind counts, pure JVM
+    regexp at scan speed. PII is injected in closed form of doc_id so the
+    oracle reproduces the identical input and replays the same
+    engine-portable regex subset (char classes + bounded quantifiers —
+    same semantics in Java regex and RE2); masked text is hash-compared
+    bytewise."""
+    from olympian_spark.operators.curation import mask_pii
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.expr(
+                "CASE WHEN doc_id % 4 = 0 THEN concat(' reach me at user', CAST(doc_id AS STRING), '@mail.example.org ok')"
+                "     WHEN doc_id % 4 = 1 THEN concat(' from 192.168.', CAST(doc_id % 256 AS STRING), '.7 host')"
+                "     WHEN doc_id % 4 = 2 THEN ' call 555-867-5309 now'"
+                "     ELSE '' END"
+            ),
+        ),
+    )
+    return mask_pii(aug).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "masked_text"
+    )
+
+
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IPV4_PAT = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PHONE_PAT = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+_PII_DUCK = f"""
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '') ||
+         CASE WHEN doc_id % 4 = 0
+                THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@mail.example.org ok'
+              WHEN doc_id % 4 = 1
+                THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7 host'
+              WHEN doc_id % 4 = 2 THEN ' call 555-867-5309 now'
+              ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_PAT}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_IPV4_PAT}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '{_PHONE_PAT}')) AS BIGINT) AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+           '{_IPV4_PAT}', '<IPV4>', 'g'),
+         '{_PHONE_PAT}', '<PHONE>', 'g') AS masked_text
+FROM aug
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with
     exact p95 + Gorilla blocks over the events-derived transcripts."""
@@ -1903,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q54_leakage_split"] = q_leakage_split
     out["q55_semantic_dedup"] = q_semantic_dedup
     out["q56_decontaminate"] = q_decontaminate
+    out["q57_mask_pii"] = q_mask_pii
     return out
 
 
@@ -1971,4 +2030,7 @@ def oracle_sql() -> dict[str, str]:
     out["q55_semantic_dedup"] = _SEMDEDUP_DUCK
     # q56 — same 3-gram shingle join recomputed relationally
     out["q56_decontaminate"] = _DECONTAM_DUCK
+    # q57 — identical closed-form PII injection + the same RE2-safe regex
+    # subset; masked text hash-compared bytewise
+    out["q57_mask_pii"] = _PII_DUCK
     return out

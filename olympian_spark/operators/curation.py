@@ -278,3 +278,37 @@ def decontaminate(
             (F.coalesce(F.col("n_bench_shingles"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# PII patterns: a deliberately conservative, engine-portable subset
+# (character classes + bounded quantifiers only — identical semantics in
+# Spark's Java regex and DuckDB's RE2): emails, dotted-quad IPv4, and
+# NANP-style phone numbers.
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+}
+
+
+def mask_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII spans from a text column (the scrub step every
+    published curation pipeline runs before training).
+
+    Replaces emails, IPv4 addresses and phone numbers with typed
+    placeholders (``<EMAIL>``, ``<IPV4>``, ``<PHONE>``) and counts each
+    kind. Adds ``masked_text`` plus ``n_<kind>`` columns. Order matters
+    and is fixed (email first — an email must not have its dotted host
+    half-eaten by the IP pass). Pure JVM regexp expressions: runs at
+    scan speed, no shuffle, no UDF, trivially restartable — the operator
+    every 100 TB scrub wants.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    out = df
+    masked = txt
+    for kind, pat in _PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(txt, F.lit(pat)).cast("long")
+        )
+        masked = F.regexp_replace(masked, pat, f"<{kind.upper()}>")
+    return out.withColumn("masked_text", masked)

@@ -208,3 +208,22 @@ def test_decontaminate_flags_and_plan(spark):
     # the 100-TB side must never shuffle for the match: benchmark broadcast
     plan = decontaminate(train, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_mask_pii_spans_and_counts(spark):
+    from olympian_spark.operators.curation import mask_pii
+
+    rows = [
+        (0, "mail a.b+c@test.co.uk then 10.0.0.1 and 555-123-4567"),
+        (1, None),
+        (2, "two mails x@y.io z@w.dev and ip 1.2.3.4 again 5.6.7.8"),
+        (3, "not-a-phone 12-345-6789 not-an-ip 1.2.3 half@mail"),
+    ]
+    out = {r["doc_id"]: r for r in mask_pii(_docs(spark, rows)).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["n_ipv4"] == 1 and out[0]["n_phone"] == 1
+    assert out[0]["masked_text"] == "mail <EMAIL> then <IPV4> and <PHONE>"
+    assert out[1]["masked_text"] == "" and out[1]["n_email"] == 0
+    assert out[2]["n_email"] == 2 and out[2]["n_ipv4"] == 2
+    assert out[2]["masked_text"] == "two mails <EMAIL> <EMAIL> and ip <IPV4> again <IPV4>"
+    assert out[3]["n_email"] == 0 and out[3]["n_ipv4"] == 0 and out[3]["n_phone"] == 0
+    assert out[3]["masked_text"] == rows[3][1]
