@@ -307,3 +307,60 @@ def test_coarser_ride_along_rejects_non_decomposable_measures(spark, tmp_path):
             bad, cat, "tier_1m_s", str(tmp_path / "ck"),
             coarser=(("tier_1h_s", "hour"),),
         )
+
+
+@pytest.fixture(scope="module")
+def doc_stream_dir(tmp_path_factory):
+    """Two micro-batch files of documents with cross-batch duplicates:
+    batch1 re-sends half of batch0's texts under new ids."""
+    d = tmp_path_factory.mktemp("docstream")
+    texts = [f"document body {i}" for i in range(100)]
+    b0 = pd.DataFrame({"doc_id": range(100), "text": texts})
+    b1 = pd.DataFrame(
+        {"doc_id": range(100, 200),
+         "text": [texts[i] if i < 50 else f"fresh body {i}" for i in range(100)]}
+    )
+    for i, part in enumerate((b0, b1)):
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       os.path.join(str(d), f"batch{i}.parquet"))
+    return str(d)
+
+
+def test_streaming_exact_dedup_cross_batch(spark, doc_stream_dir, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from olympian_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force two micro-batches
+        .parquet(doc_stream_dir)
+    )
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory").queryName("sdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sdedup").toPandas()
+    # 100 batch0 texts + 50 fresh batch1 texts = 150 distinct fingerprints
+    assert len(got) == 150
+    assert got["fingerprint"].nunique() == 150
+    # cross-batch: every duplicated text must be represented by its
+    # batch0 row (earlier micro-batch wins via state)
+    dup_texts = {f"document body {i}" for i in range(50)}
+    kept_ids = {r.text: r.doc_id for r in got.itertuples()}
+    for t in dup_texts:
+        assert kept_ids[t] < 100, f"batch1 copy won for {t!r}"
+    # matches the batch-side exact dedup keyspace
+    from olympian_spark.operators.dedup import exact_dedup
+    batch = exact_dedup(spark.read.parquet(doc_stream_dir))
+    assert sorted(got["fingerprint"]) == sorted(
+        r["fingerprint"] for r in batch.select("fingerprint").collect()
+    )
