@@ -1925,6 +1925,45 @@ FROM aug
 """
 
 
+def q_mixing_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing rate solver (operators/curation.mixing_rates): given
+    target mixture proportions over lang, compute the per-stratum keep
+    rates of the largest dataset honouring them without upsampling
+    (binding constraint = scarcest stratum). One map-side-combined count
+    aggregate; the solve is relational arithmetic on the tiny aggregate
+    (1-row broadcast cross-join, no driver collect). The oracle replays
+    the identical double arithmetic — same literals, same op order."""
+    from olympian_spark.operators.curation import mixing_rates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixing_rates(
+        docs, {"en": 0.6, "es": 0.2, "de": 0.2}, stratum_col="lang"
+    )
+
+
+_MIXING_DUCK = """
+WITH counts AS (
+  SELECT lang AS stratum, count(*) AS n_docs,
+         CASE lang WHEN 'en' THEN CAST(0.6 AS DOUBLE)
+                   WHEN 'es' THEN CAST(0.2 AS DOUBLE)
+                   WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+                   ELSE NULL END AS target
+  FROM documents GROUP BY lang
+), bound AS (
+  SELECT min(n_docs / target) AS total_max FROM counts WHERE target IS NOT NULL
+), rated AS (
+  SELECT stratum, n_docs,
+         CAST(floor(CASE WHEN target IS NOT NULL
+                         THEN least(CAST(1.0 AS DOUBLE), target * total_max / n_docs)
+                         ELSE CAST(0.0 AS DOUBLE) END * 1000000) AS BIGINT) AS rate_x1e6
+  FROM counts, bound
+)
+SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs, rate_x1e6,
+       CAST(floor(rate_x1e6 * n_docs / 1000000) AS BIGINT) AS expected_kept
+FROM rated
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with
     exact p95 + Gorilla blocks over the events-derived transcripts."""
@@ -1962,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q55_semantic_dedup"] = q_semantic_dedup
     out["q56_decontaminate"] = q_decontaminate
     out["q57_mask_pii"] = q_mask_pii
+    out["q58_mixing_rates"] = q_mixing_rates
     return out
 
 
@@ -2033,4 +2073,6 @@ def oracle_sql() -> dict[str, str]:
     # q57 — identical closed-form PII injection + the same RE2-safe regex
     # subset; masked text hash-compared bytewise
     out["q57_mask_pii"] = _PII_DUCK
+    # q58 — identical binding-constraint solve in double arithmetic
+    out["q58_mixing_rates"] = _MIXING_DUCK
     return out

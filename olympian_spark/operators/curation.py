@@ -312,3 +312,53 @@ def mask_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         masked = F.regexp_replace(masked, pat, f"<{kind.upper()}>")
     return out.withColumn("masked_text", masked)
+
+
+def mixing_rates(
+    df: DataFrame,
+    targets: dict[str, float],
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Solve per-stratum keep rates that realize a target mixture.
+
+    Given target proportions (summing to 1) over ``stratum_col``, the
+    largest dataset honouring them without upsampling is bounded by the
+    scarcest stratum: ``total = min_s(n_s / target_s)``, and every
+    stratum then keeps ``rate_s = target_s * total / n_s`` (the binding
+    stratum keeps everything). Strata absent from ``targets`` get rate 0.
+
+    Output: one row per stratum — ``(stratum, n_docs, rate_x1e6,
+    expected_kept)`` with the rate floored to the 1e-6 grid
+    :func:`stratified_sample` consumes, so the two compose into the
+    standard two-pass mixing job: count → solve → deterministic sample.
+
+    Scale shape: ONE count aggregate over the corpus (map-side combined,
+    |strata| rows out); the solve itself is arithmetic on that tiny
+    aggregate — expressed relationally (cross-join the 1-row min) so it
+    stays in the plan, no driver collect.
+    """
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tgt = F.lit(None).cast("double")
+    for s, t in sorted(targets.items()):
+        tgt = F.when(F.col("stratum") == F.lit(s), F.lit(float(t))).otherwise(tgt)
+    counts = counts.withColumn("target", tgt)
+    # binding constraint: the scarcest stratum relative to its target
+    bound = counts.where(F.col("target").isNotNull()).agg(
+        F.min(F.col("n_docs") / F.col("target")).alias("total_max")
+    )
+    out = counts.crossJoin(F.broadcast(bound))
+    rate = F.when(
+        F.col("target").isNotNull(),
+        F.least(
+            F.lit(1.0), F.col("target") * F.col("total_max") / F.col("n_docs")
+        ),
+    ).otherwise(F.lit(0.0))
+    rate_x1e6 = F.floor(rate * F.lit(_RATE_MOD)).cast("long")
+    return out.select(
+        "stratum",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        rate_x1e6.alias("rate_x1e6"),
+        F.floor(rate_x1e6 * F.col("n_docs") / F.lit(_RATE_MOD)).cast("long").alias("expected_kept"),
+    )

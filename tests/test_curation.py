@@ -227,3 +227,30 @@ def test_mask_pii_spans_and_counts(spark):
     assert out[2]["masked_text"] == "two mails <EMAIL> <EMAIL> and ip <IPV4> again <IPV4>"
     assert out[3]["n_email"] == 0 and out[3]["n_ipv4"] == 0 and out[3]["n_phone"] == 0
     assert out[3]["masked_text"] == rows[3][1]
+
+
+def test_mixing_rates_binding_constraint(spark):
+    from olympian_spark.operators.curation import mixing_rates, stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 600 else ("b" if i < 700 else "c")) for i in range(1000)],
+        "doc_id BIGINT, source STRING",
+    )
+    # n: a=600 b=100 c=300; targets a=.5 b=.25 c=.25
+    # binding: b (100/.25=400) -> total 400 -> kept a=200 b=100 c=100
+    out = {r["stratum"]: r for r in mixing_rates(df, {"a": 0.5, "b": 0.25, "c": 0.25}).collect()}
+    assert out["a"]["rate_x1e6"] == 333333 and out["a"]["expected_kept"] == 199
+    assert out["b"]["rate_x1e6"] == 1000000 and out["b"]["expected_kept"] == 100
+    assert out["c"]["rate_x1e6"] == 333333 and out["c"]["expected_kept"] == 99
+    # untargeted strata get rate 0
+    out2 = mixing_rates(df, {"a": 1.0}).collect()
+    assert {r["stratum"]: r["rate_x1e6"] for r in out2} == {
+        "a": 1000000, "b": 0, "c": 0,
+    }
+    # composes with stratified_sample: realized counts near expectations
+    rates = {r["stratum"]: r["rate_x1e6"] / 1e6
+             for r in mixing_rates(df, {"a": 0.5, "b": 0.25, "c": 0.25}).collect()}
+    kept = stratified_sample(df, rates, stratum_col="source").groupBy("source").count().collect()
+    realized = {r["source"]: r["count"] for r in kept}
+    assert realized["b"] == 100
+    assert abs(realized["a"] - 200) < 40 and abs(realized["c"] - 100) < 30
