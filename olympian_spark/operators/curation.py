@@ -344,11 +344,16 @@ def mixing_rates(
     for s, t in sorted(targets.items()):
         tgt = F.when(F.col("stratum") == F.lit(s), F.lit(float(t))).otherwise(tgt)
     counts = counts.withColumn("target", tgt)
-    # binding constraint: the scarcest stratum relative to its target
-    bound = counts.where(F.col("target").isNotNull()).agg(
-        F.min(F.col("n_docs") / F.col("target")).alias("total_max")
+    # binding constraint: the scarcest stratum relative to its target.
+    # A global window over the (<= |strata|-row) aggregate keeps this to
+    # ONE corpus scan — a cross-joined re-aggregate would scan twice.
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    out = counts.withColumn(
+        "total_max",
+        F.min(
+            F.when(F.col("target").isNotNull(), F.col("n_docs") / F.col("target"))
+        ).over(w),
     )
-    out = counts.crossJoin(F.broadcast(bound))
     rate = F.when(
         F.col("target").isNotNull(),
         F.least(
