@@ -1925,6 +1925,30 @@ FROM aug
 """
 
 
+# 59. semi-structured extraction: JSON props -> typed aggregate per event
+# type. get_json_object stays JVM-side (no UDF); the avg is exported as
+# floor(sum * 1e6 / count) on exact integers so both engines agree bitwise.
+_reg(
+    "q59_json_props",
+    """SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(floor(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) * 1000000.0
+                  / count(*)) AS BIGINT) AS avg_k_x1e6
+    FROM events GROUP BY event_type""",
+    """SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(floor(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1000000.0
+                  / count(*)) AS BIGINT) AS avg_k_x1e6
+    FROM events GROUP BY event_type""",
+)
+
+
 def q_mixing_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing rate solver (operators/curation.mixing_rates): given
     target mixture proportions over lang, compute the per-stratum keep
