@@ -400,3 +400,46 @@ def test_catalog_supports_coarser_partition_columns(spark, tmp_path):
     cat.delete_where_older("t", "2024-02", partition_col="bucket_month")
     got = {r.k for r in cat.read("t").collect()}
     assert got == {"b", "c"}
+
+
+def test_diff_snapshots_metadata_pruned(spark, tmp_path):
+    """CDC between snapshots: changed_partitions is metadata-only and
+    diff_snapshots reads ONLY differing partitions (pruned read set),
+    returning the exact added/removed row sets."""
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "diff"))
+    mk = lambda rows: spark.createDataFrame(rows, "k string, bucket_date string, v int")
+    s1 = cat.overwrite_partitions("t", mk(
+        [("a", "2024-01-01", 1), ("b", "2024-01-01", 2), ("a", "2024-01-02", 3)]
+    ))
+    s2 = cat.overwrite_partitions("t", mk([("a", "2024-01-02", 99), ("c", "2024-01-03", 4)]))
+
+    # metadata-only: 01-01 unchanged between s1 and s2
+    assert cat.changed_partitions("t", s1["snapshot_id"], s2["snapshot_id"]) == {
+        "2024-01-02", "2024-01-03",
+    }
+    got = {
+        (r.k, str(r.bucket_date), r.v, r.change)
+        for r in cat.diff_snapshots("t", s1["snapshot_id"], s2["snapshot_id"]).collect()
+    }
+    assert got == {
+        ("a", "2024-01-02", 99, "added"),
+        ("c", "2024-01-03", 4, "added"),
+        ("a", "2024-01-02", 3, "removed"),
+    }
+    # key-restricted diff: same keyspace, no value column
+    got_k = {
+        (r.k, str(r.bucket_date), r.change)
+        for r in cat.diff_snapshots(
+            "t", s1["snapshot_id"], s2["snapshot_id"], key_cols=["k", "bucket_date"]
+        ).collect()
+    }
+    assert got_k == {("c", "2024-01-03", "added")}
+    # diff against head (None) == diff against the latest snapshot id
+    got_head = {
+        (r.k, str(r.bucket_date), r.v, r.change)
+        for r in cat.diff_snapshots("t", s1["snapshot_id"]).collect()
+    }
+    assert got_head == got
+    # identical snapshots -> explicit error, not an empty scan
+    with pytest.raises(ValueError):
+        cat.diff_snapshots("t", s2["snapshot_id"], s2["snapshot_id"])
