@@ -7,12 +7,13 @@ ISO 10918-1, public) and the JFIF convention:
   4:2:0 subsampling, IJG-style quality-scaled Annex-K quantization tables,
   Annex-K-structure Huffman tables (emitted in DHT, so the stream is fully
   self-describing).
-- :func:`decode_jpeg` — baseline/extended-sequential Huffman decode
-  (SOF0/SOF1) honouring the stream's own DQT/DHT, 1- or 3-component,
+- :func:`decode_jpeg` — baseline/extended-sequential (SOF0/SOF1) AND
+  progressive (SOF2: spectral selection + successive approximation)
+  Huffman decode honouring the stream's own DQT/DHT, 1- or 3-component,
   per-component sampling factors up to 2x2, DRI/RSTn restart handling.
-  Progressive (SOF2) and arithmetic-coded frames raise
-  NotImplementedError — in the multimodal pipeline that routes those
-  payloads to the deterministic keyed-hash fallback, same as before.
+  Arithmetic-coded and hierarchical frames raise NotImplementedError —
+  in the multimodal pipeline that routes those payloads to the
+  deterministic keyed-hash fallback.
 
 Vectorization: the forward/inverse DCT run as two matmuls over ALL blocks
 of a component at once (the compute-heavy part); dequantize/level-shift/

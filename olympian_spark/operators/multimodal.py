@@ -1,13 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 Real pure-numpy decoders — PPM (P6), uncompressed 24-bit BMP, 8-bit
-RGB/RGBA PNG (stdlib zlib inflate + numpy scanline unfiltering) and
-baseline-sequential JPEG (stream-defined Huffman + vectorized IDCT,
-functions/jpeg.py) images, 16-bit PCM WAV and FLAC (Rice-coded fixed
-predictors + CRC + MD5 verification, functions/flac.py) audio — feed
-genuine pixel/sample feature extraction. Codecs that genuinely need
-external libraries (h264, mp3/ogg, progressive jpeg) raise
-NotImplementedError from
+RGB/RGBA PNG (stdlib zlib inflate + numpy scanline unfiltering),
+baseline AND progressive JPEG (stream-defined Huffman + vectorized
+IDCT, functions/jpeg.py) and GIF (LZW + interlace, functions/gif.py)
+images, 16-bit PCM / IMA-ADPCM / mu-law WAV (functions/adpcm.py) and
+FLAC (Rice-coded predictors + CRC + MD5 verification,
+functions/flac.py) audio, MJPEG-in-AVI video (functions/mjpeg.py) —
+feed genuine pixel/sample feature extraction. Codecs that genuinely
+need external libraries (h264, mp3/ogg/aac, arithmetic-coded jpeg)
+raise NotImplementedError from
 ``decode_image`` / ``decode_audio``, and the pipeline falls back to a
 deterministic keyed-hash feature so the distributed dataflow still
 executes end to end for every row.
@@ -288,7 +290,7 @@ def decode_image(payload: bytes, meta: dict) -> "np.ndarray":
     if codec == "jpeg" or payload[:2] == b"\xff\xd8":
         from olympian_spark.functions.jpeg import decode_jpeg
 
-        return decode_jpeg(payload)  # raises NotImplementedError if SOF2+
+        return decode_jpeg(payload)  # SOF0/1/2; raises for arithmetic-coded
     raise NotImplementedError(f"image codec {codec!r} needs PIL/opencv")
 
 
