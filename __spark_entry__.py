@@ -1988,6 +1988,48 @@ FROM rated
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-proxy quality scoring (operators/textstats.unigram_logprob):
+    per-document mean unigram negative log-likelihood under the corpus's
+    own unigram model. Per-token log-probs are quantized to floor(ln(p)
+    * 1e6) BEFORE summing, so the per-doc sums are exact integer
+    arithmetic — order-free and engine-portable (the ln itself follows
+    the q42 BM25 precedent: same IEEE double expression both sides).
+    max_vocab far exceeds the test vocabulary, so the oracle needs no
+    OOV branch; the OOV floor is pinned by a unit test instead."""
+    from olympian_spark.operators.textstats import unigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logprob(docs)
+
+
+_UNIGRAM_DUCK = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+), tot AS (SELECT sum(cnt) AS total FROM vocab),
+lp AS (
+  SELECT token,
+         CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000) AS BIGINT) AS lp_x1e6
+  FROM vocab, tot
+), scored AS (
+  SELECT t.doc_id, count(*) AS n_tokens, sum(l.lp_x1e6) AS sum_lp
+  FROM tok t JOIN lp l USING (token) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.sum_lp, 0) AS BIGINT) AS sum_lp_x1e6,
+       CAST(CASE WHEN coalesce(s.n_tokens, 0) > 0
+                 THEN floor(-CAST(s.sum_lp AS DOUBLE) / s.n_tokens)
+                 ELSE 0 END AS BIGINT) AS mean_nll_x1e6
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with
     exact p95 + Gorilla blocks over the events-derived transcripts."""
@@ -2026,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q56_decontaminate"] = q_decontaminate
     out["q57_mask_pii"] = q_mask_pii
     out["q58_mixing_rates"] = q_mixing_rates
+    out["q60_unigram_logprob"] = q_unigram_logprob
     return out
 
 
@@ -2099,4 +2142,7 @@ def oracle_sql() -> dict[str, str]:
     out["q57_mask_pii"] = _PII_DUCK
     # q58 — identical binding-constraint solve in double arithmetic
     out["q58_mixing_rates"] = _MIXING_DUCK
+    # q60 — integer-quantized unigram log-probs; sums exact, ln per the
+    # q42 precedent
+    out["q60_unigram_logprob"] = _UNIGRAM_DUCK
     return out

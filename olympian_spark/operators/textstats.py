@@ -10,7 +10,7 @@ what the caller aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword anchors for the heuristic language ID
@@ -185,3 +185,97 @@ def vocab_topk(
         .where(F.col("n") >= min_count)
     )
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    max_vocab: int = 100_000,
+    oov_alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean unigram negative log-likelihood — the classic
+    LM-based quality filter proxy (the shape of CCNet's KenLM perplexity
+    gate, Wenzek et al. arXiv:1911.00359, with the corpus's own unigram
+    model standing in for the external LM).
+
+    Two-pass plan that survives 100 TB:
+
+    1. vocabulary pass — explode → hash aggregate (map-side combined),
+       keep the ``max_vocab`` most frequent tokens (deterministic
+       (count desc, token asc) cut) so the model BROADCASTS regardless of
+       corpus size; everything rarer scores at an out-of-vocabulary floor
+       ``ln(oov_alpha / total)``.
+    2. scoring pass — explode → broadcast join with the model → per-doc
+       sum. Token rows never shuffle: a document's tokens are co-located,
+       so the partial aggregate collapses them to ONE row per document
+       before the (n_docs-row) exchange.
+
+    Determinism: each token's log-prob is quantized to ``floor(ln(p) *
+    1e6)`` BEFORE summing — integer sums are exact and order-free, so the
+    result is reproducible across partitionings and engines (a raw double
+    sum over an exploded, arbitrarily-ordered token stream is not).
+
+    Output: ``(id_col, n_tokens, sum_lp_x1e6, mean_nll_x1e6)`` where
+    ``mean_nll_x1e6 = floor(-sum / n)``; empty documents score 0.
+    """
+    trimmed = F.trim(F.lower(_txt()))
+    toks = F.when(
+        F.length(trimmed) == 0, F.expr("CAST(array() AS ARRAY<STRING>)")
+    ).otherwise(F.split(trimmed, r"\s+"))
+    tok_rows = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    vocab = tok_rows.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total_w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    vocab = vocab.withColumn("total", F.sum("cnt").over(total_w))
+    kept = (
+        vocab.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(max_vocab)
+        .withColumn(
+            "lp_x1e6",
+            F.floor(
+                F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+                * F.lit(1e6)
+            ).cast("long"),
+        )
+        .select("token", "lp_x1e6", "total")
+    )
+    # OOV floor rides the broadcast side's total; resolve it per row after
+    # the left join (any kept row carries total; OOV rows need it too, so
+    # a 1-row global total is broadcast separately)
+    total_df = vocab.groupBy().agg(F.max("total").alias("total"))
+    scored = (
+        tok_rows.join(F.broadcast(kept.drop("total")), "token", "left")
+        .crossJoin(F.broadcast(total_df))
+        .withColumn(
+            "lp_final",
+            F.coalesce(
+                F.col("lp_x1e6"),
+                F.floor(
+                    F.log(F.lit(float(oov_alpha)) / F.col("total").cast("double"))
+                    * F.lit(1e6)
+                ).cast("long"),
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_final").alias("sum_lp_x1e6"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("sum_lp_x1e6"), F.lit(0)).cast("long").alias("sum_lp_x1e6"),
+            F.when(
+                F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+                F.floor(
+                    -F.col("sum_lp_x1e6").cast("double") / F.col("n_tokens").cast("double")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mean_nll_x1e6"),
+        )
+    )

@@ -254,3 +254,30 @@ def test_mixing_rates_binding_constraint(spark):
     realized = {r["source"]: r["count"] for r in kept}
     assert realized["b"] == 100
     assert abs(realized["a"] - 200) < 40 and abs(realized["c"] - 100) < 30
+
+
+def test_unigram_logprob_values_and_oov_floor(spark):
+    import math
+
+    from olympian_spark.operators.textstats import unigram_logprob
+
+    rows = [(0, "a a b"), (1, "b c"), (2, ""), (3, None)]
+    # corpus tokens: a a b b c -> p(a)=2/5 p(b)=2/5 p(c)=1/5
+    out = {r["doc_id"]: r for r in unigram_logprob(_docs(spark, rows)).collect()}
+    lp = lambda p: math.floor(math.log(p) * 1e6)
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["sum_lp_x1e6"] == 2 * lp(2 / 5) + lp(2 / 5)
+    assert out[0]["mean_nll_x1e6"] == math.floor(
+        -(3 * lp(2 / 5)) / 3
+    )
+    assert out[1]["sum_lp_x1e6"] == lp(2 / 5) + lp(1 / 5)
+    assert out[2]["n_tokens"] == 0 and out[2]["mean_nll_x1e6"] == 0
+    assert out[3]["n_tokens"] == 0
+    # rarer docs score higher NLL (the filter's ordering property)
+    assert out[1]["mean_nll_x1e6"] > out[0]["mean_nll_x1e6"]
+    # max_vocab=2 keeps a,b (count desc, token asc); c scores the OOV floor
+    out2 = {
+        r["doc_id"]: r
+        for r in unigram_logprob(_docs(spark, rows), max_vocab=2, oov_alpha=0.5).collect()
+    }
+    assert out2[1]["sum_lp_x1e6"] == lp(2 / 5) + lp(0.5 / 5)
