@@ -234,12 +234,63 @@ class ParquetManifestCatalog:
             partition_col=partition_col,
         )
 
+    @staticmethod
+    def _zorder_key(df: DataFrame, cols: list, bits: int = 16):
+        """Morton (Z-order) key over ``cols`` as a pure column expression.
+
+        Numeric/timestamp columns are min-max normalized to ``bits``-bit
+        ints via ONE global aggregate (broadcast back — no per-column
+        sort, unlike rank-based schemes); strings hash into the same
+        domain (the Delta OPTIMIZE ZORDER treatment). Bits are then
+        interleaved round-robin across columns so a range of keys is a
+        hyper-rectangle-ish region of the column space. Returns
+        (df_with_stats, key_column).
+        """
+        aggs = []
+        kinds = {}
+        for c in cols:
+            dt = dict(df.dtypes)[c]
+            if dt in ("string", "binary"):
+                kinds[c] = "hash"
+            else:
+                kinds[c] = "num"
+                aggs += [
+                    F.min(F.col(c).cast("double")).alias(f"_zmn_{c}"),
+                    F.max(F.col(c).cast("double")).alias(f"_zmx_{c}"),
+                ]
+        if aggs:
+            df = df.crossJoin(F.broadcast(df.agg(*aggs)))
+        top = (1 << bits) - 1
+        quant = {}
+        for c in cols:
+            if kinds[c] == "hash":
+                quant[c] = F.pmod(F.xxhash64(F.col(c)), F.lit(1 << bits))
+            else:
+                span = F.col(f"_zmx_{c}") - F.col(f"_zmn_{c}")
+                q = F.floor(
+                    (F.col(c).cast("double") - F.col(f"_zmn_{c}"))
+                    / F.when(span > 0, span).otherwise(F.lit(1.0))
+                    * F.lit(float(top))
+                )
+                quant[c] = F.coalesce(
+                    F.least(F.greatest(q, F.lit(0)), F.lit(top)), F.lit(0)
+                ).cast("long")
+        key = F.lit(0).cast("long")
+        for bit in range(bits):
+            for j, c in enumerate(cols):
+                key = key + F.shiftleft(
+                    F.shiftright(quant[c], bit).bitwiseAND(F.lit(1)),
+                    bit * len(cols) + j,
+                )
+        return df, key
+
     def compact_partitions(
         self,
         table: str,
         partition_col: str = "bucket_date",
         target_file_bytes: int = 128 << 20,
         sort_by: list | None = None,
+        zorder_by: list | None = None,
     ) -> dict | None:
         """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite
         fragmented partitions into ~``target_file_bytes`` files as a NEW
@@ -258,7 +309,16 @@ class ParquetManifestCatalog:
         write sort-order): parquet row-group min/max stats on the sort
         columns then let predicate pushdown skip whole row groups, and
         run-length locality compresses better.
+
+        ``zorder_by`` (mutually exclusive with ``sort_by``) clusters by a
+        Morton key over SEVERAL columns (Delta OPTIMIZE ZORDER / Iceberg
+        z-ordered rewrite): a lexicographic sort gives perfect skipping on
+        the leading column and none on the rest, while Z-order gives every
+        listed column a bounded per-file min/max box — the layout a 100 TB
+        table wants when queries filter on more than one dimension.
         """
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         live = self.committed_partitions(table)
         to_do, todo_bytes = [], 0
         for pval, rec in sorted(live.items()):
@@ -280,9 +340,22 @@ class ParquetManifestCatalog:
             F.col(partition_col).cast("string").isin([unquote(p) for p in to_do])
         )
         n_out = max(1, -(-todo_bytes // target_file_bytes))
-        df = df.repartition(n_out, partition_col)
-        if sort_by:
-            df = df.sortWithinPartitions(partition_col, *sort_by)
+        if zorder_by:
+            cols = list(df.columns)
+            df, zkey = self._zorder_key(df, zorder_by)
+            df = (
+                df.withColumn("_zkey", zkey)
+                # range partitions = contiguous Morton-key slabs per
+                # partition value -> each output file owns a compact
+                # multi-column box
+                .repartitionByRange(n_out, partition_col, "_zkey")
+                .sortWithinPartitions(partition_col, "_zkey")
+                .select(*cols)
+            )
+        else:
+            df = df.repartition(n_out, partition_col)
+            if sort_by:
+                df = df.sortWithinPartitions(partition_col, *sort_by)
         # distribute=False: the target-size repartition above IS the layout
         return self.overwrite_partitions(
             table, df, partition_col=partition_col, _op="compact", distribute=False

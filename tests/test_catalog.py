@@ -443,3 +443,55 @@ def test_diff_snapshots_metadata_pruned(spark, tmp_path):
     # identical snapshots -> explicit error, not an empty scan
     with pytest.raises(ValueError):
         cat.diff_snapshots("t", s2["snapshot_id"], s2["snapshot_id"])
+
+
+def test_compact_zorder_bounded_boxes(spark, tmp_path):
+    """Z-ordered compaction: every output file's (x, y) min/max box is
+    bounded in BOTH dimensions, where a lexicographic x-sort would give
+    each file the full y span."""
+    import glob
+    import os as _os
+
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "zo"))
+    n = 128
+    # hash-scrambled row order: the incoming layout is uncorrelated with
+    # (x, y), as post-shuffle data would be
+    grid = (
+        spark.range(n * n)
+        .selectExpr(
+            "CAST(id % 128 AS DOUBLE) AS x",
+            "CAST(CAST(id / 128 AS INT) AS DOUBLE) AS y",
+            "'2024-01-01' AS bucket_date",
+            "xxhash64(id) AS scramble",
+        )
+        .repartition(8, "scramble")
+        .drop("scramble")
+    )
+    cat.overwrite_partitions("t", grid, distribute=False)  # 8 unclustered files
+    snap = cat.compact_partitions(
+        "t", target_file_bytes=8_000, zorder_by=["x", "y"]
+    )
+    assert snap is not None and snap["op"] == "compact"
+    pdir = _os.path.join(
+        str(tmp_path / "zo"), "t", "data", f"s{snap['snapshot_id']}",
+        "bucket_date=2024-01-01",
+    )
+    files = glob.glob(_os.path.join(pdir, "*.parquet"))
+    assert len(files) >= 4
+    spans = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("x"), F.max("x"), F.min("y"), F.max("y"))
+            .collect()[0]
+        )
+        spans.append((r[1] - r[0], r[3] - r[2]))
+    # Morton slabs: no file spans (nearly) the full range in BOTH dims,
+    # and at least half the files are bounded in EACH dim
+    assert all(min(sx, sy) <= 80 for sx, sy in spans), spans
+    bounded = sum(1 for sx, sy in spans if sx <= 80 and sy <= 80)
+    assert bounded >= len(spans) // 2, spans
+    # content unchanged by the rewrite
+    assert cat.read("t").count() == n * n
+    with pytest.raises(ValueError):
+        cat.compact_partitions("t", sort_by=["x"], zorder_by=["x"])
