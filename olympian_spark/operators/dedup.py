@@ -400,3 +400,37 @@ def dedup_keep_canonical(
         )
         .select(*df.columns, "component", "n_members")
     )
+
+
+def incremental_exact_dedup(
+    cat,
+    table: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+    old_fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Keep-first exact dedup over ONLY the documents added since a
+    snapshot — the daily-production shape: yesterday's corpus is already
+    deduped, so today's job must touch today's additions, not the world.
+
+    Composition of the catalog's CDC with :func:`exact_dedup`:
+    ``diff_snapshots`` prunes reads to changed partitions (metadata-only
+    manifest compare), the added rows dedup among themselves, and an
+    anti-join against the prior state's fingerprints drops anything seen
+    before. Returns the genuinely-new keepers
+    ``(fingerprint, keep_doc_id, n_docs)``.
+
+    ``old_fingerprints``: pass a maintained fingerprint index (one column
+    ``fingerprint``) to skip recomputing it from the full prior state —
+    at 100 TB the index table IS the production design; the default
+    recompute is the self-contained fallback.
+    """
+    diff = cat.diff_snapshots(table, from_snapshot, to_snapshot)
+    added = diff.filter(F.col("change") == "added").drop("change")
+    if old_fingerprints is None:
+        old_fingerprints = (
+            with_fingerprint(cat.read(table, as_of=from_snapshot))
+            .select("fingerprint")
+            .distinct()
+        )
+    return exact_dedup(added).join(old_fingerprints, "fingerprint", "left_anti")

@@ -495,3 +495,54 @@ def test_compact_zorder_bounded_boxes(spark, tmp_path):
     assert cat.read("t").count() == n * n
     with pytest.raises(ValueError):
         cat.compact_partitions("t", sort_by=["x"], zorder_by=["x"])
+
+
+def test_incremental_exact_dedup_cdc(spark, tmp_path):
+    """Daily incremental dedup: only docs added since the last snapshot are
+    considered, content already present before is dropped, and the union
+    with the prior keepers equals the full-recompute keepers."""
+    from olympian_spark.operators.dedup import exact_dedup, incremental_exact_dedup
+
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "incdd"))
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, bucket_date STRING"
+    )
+    day1 = mk([
+        (0, "alpha text", "2024-01-01"),
+        (1, "beta text", "2024-01-01"),
+        (2, "alpha text", "2024-01-01"),   # in-day dup of 0
+    ])
+    s1 = cat.overwrite_partitions("docs", day1)
+    day2 = mk([
+        (10, "gamma text", "2024-01-02"),  # new content
+        (11, "alpha text", "2024-01-02"),  # dups day1 content
+        (12, "gamma text", "2024-01-02"),  # in-day dup of 10
+        (13, "delta text", "2024-01-02"),  # new content
+    ])
+    cat.overwrite_partitions("docs", day1.unionByName(day2).filter("bucket_date = '2024-01-02'"))
+
+    inc = incremental_exact_dedup(cat, "docs", s1["snapshot_id"])
+    got = {(r["keep_doc_id"], r["n_docs"]) for r in inc.collect()}
+    assert got == {(10, 2), (13, 1)}  # gamma kept at 10 (11 dropped: old content)
+
+    # consistency: incremental keepers + prior keepers == full recompute
+    full = {r["keep_doc_id"] for r in exact_dedup(cat.read("docs")).collect()}
+    prior = {
+        r["keep_doc_id"]
+        for r in exact_dedup(cat.read("docs", as_of=s1["snapshot_id"])).collect()
+    }
+    assert prior | {k for k, _ in got} == full
+
+    # maintained-index path gives the same answer
+    from olympian_spark.operators.textstats import with_fingerprint
+    idx = (
+        with_fingerprint(cat.read("docs", as_of=s1["snapshot_id"]))
+        .select("fingerprint").distinct()
+    )
+    got_idx = {
+        (r["keep_doc_id"], r["n_docs"])
+        for r in incremental_exact_dedup(
+            cat, "docs", s1["snapshot_id"], old_fingerprints=idx
+        ).collect()
+    }
+    assert got_idx == got
