@@ -104,3 +104,39 @@ def test_coalesce_nested_and_touching(spark):
     assert got == {
         ("a", 0, 150, 3), ("a", 200, 210, 1), ("b", 0, 50, 1), ("b", 60, 70, 1)
     }
+
+
+def test_lttb_invariants(spark):
+    """LTTB: exact output count, endpoints preserved, a dominant spike
+    always selected, deterministic across repartitionings."""
+    import numpy as np
+
+    from olympian_spark.operators.downsample import lttb_downsample
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for s in ("s1", "s2"):
+        base = rng.normal(0, 1, 500).cumsum()
+        base[137] += 500.0  # dominant spike
+        for i, v in enumerate(base):
+            rows.append((s, 1_700_000_000_000_000 + i * 60_000_000, float(v)))
+    df = spark.createDataFrame(rows, "user_id STRING, us BIGINT, value DOUBLE").selectExpr(
+        "user_id", "timestamp_micros(us) AS ts", "value"
+    )
+    out = lttb_downsample(df, "value", by="user_id", n_out=50)
+    pdf = out.toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    for s, g in pdf.groupby("user_id"):
+        assert len(g) == 50
+        assert g["ts"].is_monotonic_increasing
+        # endpoints kept
+        assert g["ts"].iloc[0] == pdf["ts"].min()
+        # spike survives downsampling (LTTB's defining property)
+        assert g["value"].max() > 400.0
+    # n_out >= n passes everything through
+    small = lttb_downsample(df.limit(10), "value", by="user_id", n_out=50)
+    assert small.count() == 10
+    # deterministic under repartitioning
+    out2 = lttb_downsample(df.repartition(7), "value", by="user_id", n_out=50)
+    a = sorted(map(tuple, pdf[["user_id", "ts", "value"]].itertuples(index=False)))
+    b = sorted(map(tuple, out2.toPandas()[["user_id", "ts", "value"]].itertuples(index=False)))
+    assert a == b
