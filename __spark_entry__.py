@@ -2030,6 +2030,44 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling (operators/downsample.lttb_downsample),
+    driver-checkable against an INDEPENDENTLY derived keyspace: 4 series
+    x 12 points (spikes at pos 2/5/9, small noise elsewhere, closed form
+    of the id), n_out=5. The expected selection {0, 2, 4, 9, 11} — note
+    pos 4, a VALLEY: after picking the pos-2 peak, the largest triangle
+    against the next bucket's (spike-inflated) average is a low point,
+    the thesis algorithm's defining non-greedy behaviour — was computed
+    by a separate scalar implementation of the thesis pseudocode, not by
+    the engine kernel, and is identical for all 4 series; the oracle
+    reproduces it from the same id arithmetic (q41-style pinned
+    keyspace)."""
+    from olympian_spark.operators.downsample import lttb_downsample
+
+    pts = spark.range(48).selectExpr(
+        "concat('u', CAST(id DIV 12 AS STRING)) AS user_id",
+        "timestamp_micros(1700000000000000 + (id % 12) * 60000000) AS ts",
+        "CAST(CASE WHEN id % 12 IN (2, 5, 9) THEN 1000 + (id DIV 12) * 10 + id % 12"
+        "     ELSE ((id DIV 12) * 5 + (id % 12) * 3) % 7 END AS DOUBLE) AS value",
+    )
+    return lttb_downsample(pts, "value", by="user_id", n_out=5)
+
+
+_LTTB_DUCK = """
+WITH pts AS (
+  SELECT 'u' || CAST(r.range // 12 AS VARCHAR) AS user_id,
+         r.range % 12 AS pos,
+         make_timestamp(1700000000000000 + (r.range % 12) * 60000000) AS ts,
+         CAST(CASE WHEN r.range % 12 IN (2, 5, 9)
+                   THEN 1000 + (r.range // 12) * 10 + r.range % 12
+                   ELSE ((r.range // 12) * 5 + (r.range % 12) * 3) % 7
+              END AS DOUBLE) AS value
+  FROM range(48) r
+)
+SELECT user_id, ts, value FROM pts WHERE pos IN (0, 2, 4, 9, 11)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with
     exact p95 + Gorilla blocks over the events-derived transcripts."""
@@ -2069,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q57_mask_pii"] = q_mask_pii
     out["q58_mixing_rates"] = q_mixing_rates
     out["q60_unigram_logprob"] = q_unigram_logprob
+    out["q61_lttb_downsample"] = q_lttb
     return out
 
 
@@ -2145,4 +2184,7 @@ def oracle_sql() -> dict[str, str]:
     # q60 — integer-quantized unigram log-probs; sums exact, ln per the
     # q42 precedent
     out["q60_unigram_logprob"] = _UNIGRAM_DUCK
+    # q61 — dominant-spike construction makes the LTTB selection a
+    # closed-form keyspace (proof sketch in the query docstring)
+    out["q61_lttb_downsample"] = _LTTB_DUCK
     return out
