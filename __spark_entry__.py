@@ -2050,21 +2050,24 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CASE WHEN id % 12 IN (2, 5, 9) THEN 1000 + (id DIV 12) * 10 + id % 12"
         "     ELSE ((id DIV 12) * 5 + (id % 12) * 3) % 7 END AS DOUBLE) AS value",
     )
-    return lttb_downsample(pts, "value", by="user_id", n_out=5)
+    out = lttb_downsample(pts, "value", by="user_id", n_out=5)
+    # epoch micros, not timestamp: sidesteps tz-aware (Spark) vs naive
+    # (DuckDB make_timestamp) Arrow typing in the hash compare
+    return out.selectExpr("user_id", "unix_micros(ts) AS ts_us", "value")
 
 
 _LTTB_DUCK = """
 WITH pts AS (
   SELECT 'u' || CAST(r.range // 12 AS VARCHAR) AS user_id,
          r.range % 12 AS pos,
-         make_timestamp(1700000000000000 + (r.range % 12) * 60000000) AS ts,
+         CAST(1700000000000000 + (r.range % 12) * 60000000 AS BIGINT) AS ts_us,
          CAST(CASE WHEN r.range % 12 IN (2, 5, 9)
                    THEN 1000 + (r.range // 12) * 10 + r.range % 12
                    ELSE ((r.range // 12) * 5 + (r.range % 12) * 3) % 7
               END AS DOUBLE) AS value
   FROM range(48) r
 )
-SELECT user_id, ts, value FROM pts WHERE pos IN (0, 2, 4, 9, 11)
+SELECT user_id, ts_us, value FROM pts WHERE pos IN (0, 2, 4, 9, 11)
 """
 
 
