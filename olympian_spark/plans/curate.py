@@ -120,3 +120,28 @@ def curate_corpus(
         packed.select("shard", "pack_id").distinct().count()
     )
     return packed, metrics
+
+
+def curate_to_catalog(
+    cat,
+    table: str,
+    docs: DataFrame,
+    **kwargs,
+) -> tuple[dict, dict]:
+    """Run :func:`curate_corpus` and commit the packed shards as a catalog
+    table, with the per-stage survival metrics recorded IN the manifest
+    snapshot — curation gets the same lineage story as the tier refresh
+    (every snapshot answers "what did this job read, keep, and drop").
+
+    Shards are the partition column, so downstream training readers get
+    one directory per shard and snapshot isolation / time travel /
+    retention / compaction for free. Returns (snapshot_record, metrics).
+    """
+    packed, metrics = curate_corpus(docs, **kwargs)
+    snap = cat.overwrite_partitions(
+        table,
+        packed.withColumn("shard", F.col("shard").cast("string")),
+        partition_col="shard",
+        extra_meta={"curation_metrics": metrics},
+    )
+    return snap, metrics

@@ -153,6 +153,7 @@ class ParquetManifestCatalog:
         input_watermark: str | None = None,
         _op: str = "overwrite_partitions",
         distribute: bool = True,
+        extra_meta: dict | None = None,
     ) -> dict:
         """Copy-on-write partition overwrite + atomic manifest commit.
 
@@ -231,7 +232,7 @@ class ParquetManifestCatalog:
             parts = dict(pool.map(_part_metrics, dirs))
         return self._append_snapshot(
             table, _op, parts, input_watermark=input_watermark,
-            partition_col=partition_col,
+            partition_col=partition_col, **(extra_meta or {}),
         )
 
     @staticmethod

@@ -74,3 +74,21 @@ def test_curate_corpus_minimal_args(spark, corpus):
     packed, m = curate_corpus(corpus, dup_word_max_x1e6=500_000)
     assert "after_mixing" not in m and "after_decontaminate" not in m
     assert m["after_near_dedup"] == packed.count()
+
+
+def test_curate_to_catalog_manifest_metrics(spark, corpus, tmp_path):
+    from olympian_spark.sources.catalog import ParquetManifestCatalog
+    from olympian_spark.plans.curate import curate_to_catalog
+
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "cur"))
+    snap, m = curate_to_catalog(
+        cat, "shards", corpus, dup_word_max_x1e6=500_000, budget=128, n_shards=2
+    )
+    assert snap["op"] == "overwrite_partitions"
+    assert snap["curation_metrics"] == m
+    back = cat.read("shards")
+    assert back.count() == m["after_near_dedup"]
+    assert set(int(r["shard"]) for r in back.select("shard").distinct().collect()) <= {0, 1}
+    # manifest survives reload (metrics are part of the committed record)
+    reloaded = cat.current_snapshot("shards")
+    assert reloaded["curation_metrics"]["input"] == 49
