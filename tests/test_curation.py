@@ -281,3 +281,37 @@ def test_unigram_logprob_values_and_oov_floor(spark):
         for r in unigram_logprob(_docs(spark, rows), max_vocab=2, oov_alpha=0.5).collect()
     }
     assert out2[1]["sum_lp_x1e6"] == lp(2 / 5) + lp(0.5 / 5)
+
+
+def test_cluster_aware_split_composition(spark):
+    """leakage_safe_split generalizes beyond exact fingerprints: keyed on
+    near-dup connected components, whole near-duplicate CLUSTERS land in
+    one split (the contamination-proof train/test recipe)."""
+    from pyspark.sql import functions as F
+
+    from olympian_spark.operators.curation import leakage_safe_split
+    from olympian_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    # 10 clusters of 3 near-identical docs (one token varies mid-body)
+    rows = []
+    for c in range(10):
+        base = [f"c{c}w{j}" for j in range(30)]
+        for k in range(3):
+            body = list(base)
+            body[15] = f"var{k}"
+            rows.append((c * 10 + k, " ".join(body)))
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    pairs = ngram_jaccard_pairs(df, threshold=0.7, max_doc_freq=None)
+    comp = connected_components(pairs).selectExpr("node AS doc_id", "component")
+    keyed = df.join(comp, "doc_id", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("doc_id"))
+    )
+    out = leakage_safe_split(
+        keyed, test_frac=0.4, key_col="component", id_col="doc_id"
+    ).collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert len(out) == 30
+    assert all(len(s) == 1 for s in by_comp.values())
+    assert len(by_comp) == 10  # the 3-doc clusters were recovered
