@@ -1098,6 +1098,38 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC shortlist + exact rerank) with the
+    recall-vs-exact bound folded into a boolean, mirroring q34/q39:
+    seeded driver-side subspace k-means codebooks, corpus scanned as
+    8-byte codes, per-query LUT gather-sum, top-80 shortlist refined by
+    exact cosine on a broadcast candidate fetch. Uniform random vectors
+    are PQ's worst case; the >=2-of-10 floor is the same conservative
+    bound the other ANN paths use."""
+    from olympian_spark.operators.similarity import cosine_topk, pq_ann_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    approx = pq_ann_topk(emb, qs, dim=64, k=10, m=8, rerank_factor=8)
+    exact = cosine_topk(emb, qs, k=10)
+    hits = approx.join(exact, ["query_id", "vec_id"], "left_semi")
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k_returned"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("_hits")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "k_returned",
+            (F.coalesce(F.col("_hits"), F.lit(0)) >= F.lit(2)).alias("recall_ok"),
+        )
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, driver-checkable via planted exact
     duplicates: vec_id < 20 are duplicated at id+1_000_000 with IDENTICAL
@@ -2111,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q58_mixing_rates"] = q_mixing_rates
     out["q60_unigram_logprob"] = q_unigram_logprob
     out["q61_lttb_downsample"] = q_lttb
+    out["q62_ann_pq_topk"] = q_ann_pq
     return out
 
 
@@ -2190,4 +2223,6 @@ def oracle_sql() -> dict[str, str]:
     # q61 — dominant-spike construction makes the LTTB selection a
     # closed-form keyspace (proof sketch in the query docstring)
     out["q61_lttb_downsample"] = _LTTB_DUCK
+    # q62 — same recall-bound fold as q34/q39
+    out["q62_ann_pq_topk"] = _ANN_DUCK
     return out

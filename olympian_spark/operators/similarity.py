@@ -563,3 +563,183 @@ def semantic_dedup(
             F.col("dup_of").cast("long").alias("dup_of"),
         )
     )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 256,
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    sample_rows: int = 100_000,
+    n_iters: int = 12,
+    seed: int = 29,
+) -> "np.ndarray":
+    """Product-quantization codebooks (Jégou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", IEEE TPAMI 2011 — the
+    public technique behind FAISS IndexPQ): split the (unit-normalized)
+    vector into ``m`` subspaces and k-means each to ``ksub`` centroids.
+
+    Returns an (m, ksub, dim//m) float64 array. Training is a bounded
+    driver-side sample like :func:`train_ivf_centroids` — the codebook
+    is a few hundred KB regardless of corpus size, which is the point:
+    a 10^9-vector corpus of 64-dim float32 is 256 GB of vectors but only
+    8 GB of 8-byte PQ codes.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rows = (
+        corpus.select(F.col(vec_col))
+        .sample(fraction=sample_fraction, seed=seed)
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    X = X / np.where(norms == 0, 1.0, norms)[:, None]
+    n = X.shape[0]
+    k_eff = min(ksub, n)
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[rng.choice(n, k_eff, replace=False)].copy()
+        for _ in range(n_iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for c in range(k_eff):
+                mem = S[a == c]
+                C[c] = mem.mean(0) if len(mem) else S[rng.integers(0, n)]
+        books[j, :k_eff] = C
+        if k_eff < ksub:
+            books[j, k_eff:] = C[rng.integers(0, k_eff, ksub - k_eff)]
+    return books
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: "np.ndarray | None" = None,
+    sample_fraction: float = 1.0,
+    sample_rows: int = 100_000,
+    rerank_factor: int | None = 8,
+    seed: int = 29,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over PQ
+    codes — the memory-bounded ANN path: the corpus is scanned as m-byte
+    codes (dim/m× smaller than the raw vectors), never shuffled; each
+    query broadcasts an (m, ksub) lookup table of subspace distances and
+    scoring is one vectorized numpy gather-sum per Arrow batch.
+
+    Vectors are unit-normalized first, so L2 ranking == cosine ranking
+    (||a-b||² = 2 - 2·cos for unit vectors).
+
+    ``rerank_factor``: ADC alone ranks coarse (8-byte codes can't resolve
+    tight in-cluster neighbours), so the standard refine stage keeps the
+    top ``k·rerank_factor`` per query by ADC, fetches ONLY those
+    candidates' true vectors (broadcast keyed lookup — k·factor rows per
+    query, the corpus is never re-shuffled) and reranks by exact cosine.
+    Output schema matches :func:`cosine_topk`; with rerank on, cos_sim is
+    the EXACT cosine of the kept candidates. Pass None for pure ADC
+    (cos_sim = 1 - adc²/2, the PQ approximation).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    B = (
+        codebooks
+        if codebooks is not None
+        else train_pq_codebooks(
+            corpus, dim, m=m, vec_col=vec_col,
+            sample_fraction=sample_fraction, sample_rows=sample_rows, seed=seed,
+        )
+    )
+    B = np.asarray(B, dtype=np.float64)
+    m_, ksub, dsub = B.shape
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        M = np.asarray([np.asarray(x, np.float64) for x in v], dtype=np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        M = M / np.where(norms == 0, 1.0, norms)[:, None]
+        codes = np.empty((len(M), m_), np.int32)
+        for j in range(m_):
+            S = M[:, j * dsub : (j + 1) * dsub]
+            d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    coded = corpus.select(
+        F.col(id_col).alias("vec_id"), encode(F.col(vec_col)).alias("code")
+    )
+    qrows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)).collect()
+    Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qn = np.linalg.norm(Q, axis=1)
+    Q = Q / np.where(qn == 0, 1.0, qn)[:, None]
+    # (n_q, m, ksub) subspace LUTs, broadcast once; tiny (n_q·m·ksub·8B)
+    luts = np.stack(
+        [
+            ((Q[:, j * dsub : (j + 1) * dsub][:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+            for j in range(m_)
+        ],
+        axis=1,
+    )
+
+    # scoring kernel: plain loop over the m subspaces, vectorized over
+    # batch and queries — O(batch · n_q · m) adds per Arrow batch
+    @pandas_udf("array<double>")
+    def adc_plain(codes: pd.Series) -> pd.Series:
+        C = np.asarray(list(codes), dtype=np.int64)  # (batch, m)
+        total = np.zeros((C.shape[0], luts.shape[0]))
+        for j in range(m_):
+            total += luts[:, j, :][:, C[:, j]].T  # (batch, n_q)
+        return pd.Series(list(total))
+
+    scored = coded.withColumn("d2s", adc_plain(F.col("code")))
+    exploded = scored.select(
+        "vec_id", F.posexplode("d2s").alias("qpos", "d2")
+    )
+    qmap = F.array(*[F.lit(int(q)) for q in qids])
+    exploded = exploded.withColumn("query_id", qmap[F.col("qpos")]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc_cos = (F.lit(1.0) - F.col("d2") / F.lit(2.0))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    shortlist_k = k if rerank_factor is None else k * rerank_factor
+    shortlist = (
+        exploded.select("query_id", "vec_id", F.round(adc_cos, 6).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist_k)
+    )
+    if rerank_factor is None:
+        return shortlist.select("query_id", "vec_id", "cos_sim", "rank")
+    # refine: exact cosine on the (k·factor per query) candidates only —
+    # the corpus joins a BROADCAST candidate set, so this is a map-side
+    # keyed fetch, never a corpus shuffle
+    cands = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    ).join(F.broadcast(shortlist.select("query_id", "vec_id")), "vec_id")
+    qside = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    rer = cands.join(F.broadcast(qside), "query_id")
+    cos = (
+        _dot(F.col("cv").cast("array<double>"), F.col("qv").cast("array<double>"))
+        / (
+            _norm(F.col("cv").cast("array<double>"))
+            * _norm(F.col("qv").cast("array<double>"))
+        )
+    )
+    return (
+        rer.select("query_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

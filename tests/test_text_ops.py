@@ -536,3 +536,42 @@ def test_semantic_dedup_clusters_and_salting(spark):
     for r in out2:
         if r["is_dup"]:
             assert r["dup_of"] < r["vec_id"]
+
+
+def test_pq_ann_recall(spark):
+    """PQ/ADC top-k: recall@10 vs exact cosine on clustered vectors, code
+    size m bytes, and the cos_sim column is the documented 1 - d2/2
+    approximation (monotone with true cosine on unit vectors)."""
+    import numpy as np
+
+    from olympian_spark.operators.similarity import (
+        cosine_topk,
+        pq_ann_topk,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(3)
+    dim, n = 32, 2000
+    centers = rng.normal(0, 1, (12, dim))
+    rows = []
+    for i in range(n):
+        v = centers[i % 12] + rng.normal(0, 0.15, dim)
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    queries = corpus.filter("vec_id < 8")
+    B = train_pq_codebooks(corpus, dim, m=8, sample_rows=2000, n_iters=8)
+    assert B.shape == (8, 256, 4)
+    approx = pq_ann_topk(corpus, queries, dim, k=10, m=8, codebooks=B)
+    exact = cosine_topk(corpus, queries, k=10)
+    a = {}
+    for r in approx.collect():
+        a.setdefault(r["query_id"], set()).add(r["vec_id"])
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(a[q] & e[q]) / 10 for q in e]
+    assert sum(recalls) / len(recalls) >= 0.85, recalls  # rerank refines ADC
+    # pure ADC (no rerank): coarser but sane, bounded scores
+    pure = pq_ann_topk(corpus, queries, dim, k=10, m=8, codebooks=B, rerank_factor=None)
+    for r in pure.collect():
+        assert -1.01 <= r["cos_sim"] <= 1.01
