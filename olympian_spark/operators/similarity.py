@@ -707,9 +707,9 @@ def pq_ann_topk(
         "vec_id", F.posexplode("d2s").alias("qpos", "d2")
     )
     qmap = F.array(*[F.lit(int(q)) for q in qids])
-    exploded = exploded.withColumn("query_id", qmap[F.col("qpos")]).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+    exploded = exploded.withColumn(
+        "query_id", qmap[F.col("qpos")].cast("long")
+    ).filter(F.col("vec_id") != F.col("query_id"))
     adc_cos = (F.lit(1.0) - F.col("d2") / F.lit(2.0))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     shortlist_k = k if rerank_factor is None else k * rerank_factor
