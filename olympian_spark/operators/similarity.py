@@ -663,17 +663,20 @@ def pq_ann_topk(
     B = np.asarray(B, dtype=np.float64)
     m_, ksub, dsub = B.shape
 
-    @pandas_udf("array<int>")
+    @pandas_udf("binary")
     def encode(v: pd.Series) -> pd.Series:
+        # codes ship as LITERAL m-byte binary (ksub <= 256), so the
+        # dim/m x compression claim is the on-wire/table reality, not
+        # an array<int> approximation of it
         M = np.asarray([np.asarray(x, np.float64) for x in v], dtype=np.float64)
         norms = np.linalg.norm(M, axis=1)
         M = M / np.where(norms == 0, 1.0, norms)[:, None]
-        codes = np.empty((len(M), m_), np.int32)
+        codes = np.empty((len(M), m_), np.uint8)
         for j in range(m_):
             S = M[:, j * dsub : (j + 1) * dsub]
             d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
-            codes[:, j] = d2.argmin(1)
-        return pd.Series(list(codes))
+            codes[:, j] = d2.argmin(1).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
 
     coded = corpus.select(
         F.col(id_col).alias("vec_id"), encode(F.col(vec_col)).alias("code")
@@ -696,7 +699,7 @@ def pq_ann_topk(
     # batch and queries — O(batch · n_q · m) adds per Arrow batch
     @pandas_udf("array<double>")
     def adc_plain(codes: pd.Series) -> pd.Series:
-        C = np.asarray(list(codes), dtype=np.int64)  # (batch, m)
+        C = np.frombuffer(b"".join(codes), dtype=np.uint8).reshape(-1, m_).astype(np.int64)
         total = np.zeros((C.shape[0], luts.shape[0]))
         for j in range(m_):
             total += luts[:, j, :][:, C[:, j]].T  # (batch, n_q)
