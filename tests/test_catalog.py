@@ -546,3 +546,25 @@ def test_incremental_exact_dedup_cdc(spark, tmp_path):
         ).collect()
     }
     assert got_idx == got
+
+
+def test_diff_snapshots_across_rollback(spark, tmp_path):
+    """CDC folds rollback records: diffing from a pre-rollback snapshot to
+    head (post-rollback) reports exactly the overwrite being undone."""
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "rbdiff"))
+    mk = lambda rows: spark.createDataFrame(rows, "k string, bucket_date string, v int")
+    s1 = cat.overwrite_partitions("t", mk([("a", "2024-01-01", 1), ("b", "2024-01-02", 2)]))
+    s2 = cat.overwrite_partitions("t", mk([("a", "2024-01-02", 99)]))
+    cat.rollback("t", s1["snapshot_id"])
+    # head state == s1 state, so diff s2 -> head undoes s2's overwrite
+    got = {
+        (r.k, str(r.bucket_date), r.v, r.change)
+        for r in cat.diff_snapshots("t", s2["snapshot_id"]).collect()
+    }
+    assert got == {
+        ("a", "2024-01-02", 99, "removed"),
+        ("b", "2024-01-02", 2, "added"),
+    }
+    # and s1 -> head is empty (identical states) -> explicit error
+    with pytest.raises(ValueError):
+        cat.diff_snapshots("t", s1["snapshot_id"])
