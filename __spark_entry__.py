@@ -1373,10 +1373,13 @@ def q_distinct_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     union) -> 1d (sketch union) -> estimate. Distinct counts are not
     decomposable, so this is the tier model's only scale-correct path —
     shuffles move (bucket, <=4KB sketch) pairs, never raw keys, and the
-    cascade never rescans raw data. At sf0.01 per-day cardinality
-    (~130 users) sits deep in DataSketches sparse mode, where estimates
-    are EXACT — licensing a value-hash oracle against DuckDB's exact
-    count(DISTINCT) rather than an error-bound aggregate."""
+    cascade never rescans raw data. Exact columns (n_rows from the
+    cascade partials, n_users from the exact-distinct path) value-hash
+    against DuckDB; the sketch estimate itself is checked as a
+    probabilistic-safe BOUND (|est/exact - 1| <= 5%, ~3 sigma at
+    lg_k=12), the q32 precedent — an exact-value oracle only held while
+    per-day cardinality sat in sparse mode (it passed at sf0.01's ~1.3k
+    users/day but broke at sf0.1's denser days)."""
     from olympian_spark.operators.distinct import (
         distinct_coarser,
         distinct_rollup,
@@ -1387,15 +1390,28 @@ def q_distinct_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     t1m = distinct_rollup(ev, "user_id", grain="minute")
     t1d = distinct_coarser(distinct_coarser(t1m, "hour"), "day")
-    return with_distinct_estimate(t1d, "n_users").select(
-        F.to_date("bucket_start").alias("day"), "n_rows", "n_users"
+    est = with_distinct_estimate(t1d, "n_users_hll").select(
+        F.to_date("bucket_start").alias("day"), "n_rows", "n_users_hll"
+    )
+    exact = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "n_rows",
+        "n_users",
+        (
+            F.abs(F.col("n_users_hll") - F.col("n_users"))
+            <= F.lit(0.05) * F.col("n_users")
+        ).alias("hll_ok"),
     )
 
 
 _DISTINCT_DUCK = """
 SELECT date_trunc('day', ts) AS day,
        count(*) AS n_rows,
-       count(DISTINCT user_id) AS n_users
+       count(DISTINCT user_id) AS n_users,
+       TRUE AS hll_ok
 FROM events GROUP BY 1
 """
 
