@@ -54,6 +54,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _json_stat(v):
+    """Parquet row-group statistic -> JSON-storable, order-preserving value
+    (bytes decode to str; datetimes to ISO strings — lexicographic order
+    matches chronological for ISO timestamps)."""
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
 class ParquetManifestCatalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -154,6 +165,7 @@ class ParquetManifestCatalog:
         _op: str = "overwrite_partitions",
         distribute: bool = True,
         extra_meta: dict | None = None,
+        stats_cols: list | None = None,
     ) -> dict:
         """Copy-on-write partition overwrite + atomic manifest commit.
 
@@ -212,17 +224,42 @@ class ParquetManifestCatalog:
             pval = d.split("=", 1)[1]
             pdir = os.path.join(sdir, d)
             files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
-            return pval, {
-                "rows": int(sum(
-                    pq.ParquetFile(os.path.join(pdir, f)).metadata.num_rows
-                    for f in files
-                )),
+            rec = {
+                "rows": 0,
                 "bytes": int(sum(
                     os.path.getsize(os.path.join(pdir, f)) for f in files
                 )),
                 "wall_s": round(wall, 3),
                 "input_watermark": input_watermark,
             }
+            stats: dict = {}
+            for f in files:
+                md = pq.ParquetFile(os.path.join(pdir, f)).metadata
+                rec["rows"] += md.num_rows
+                if not stats_cols:
+                    continue
+                # Iceberg-style column bounds from parquet row-group
+                # footers — metadata only, no data pages read
+                name_to_idx = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }
+                for col in stats_cols:
+                    i = name_to_idx.get(col)
+                    if i is None:
+                        continue
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(i).statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        lo, hi = _json_stat(st.min), _json_stat(st.max)
+                        if col not in stats:
+                            stats[col] = [lo, hi]
+                        else:
+                            stats[col][0] = min(stats[col][0], lo)
+                            stats[col][1] = max(stats[col][1], hi)
+            if stats:
+                rec["stats"] = stats
+            return pval, rec
 
         dirs = [
             d for d in sorted(os.listdir(sdir))
@@ -509,6 +546,31 @@ class ParquetManifestCatalog:
         added = _tag(new.join(old.select(*key_cols), key_cols, "left_anti"), "added")
         removed = _tag(old.join(new.select(*key_cols), key_cols, "left_anti"), "removed")
         return added.unionByName(removed)
+
+    def pruned_partitions(self, table: str, col: str, lo, hi) -> dict:
+        """Live partitions whose manifest [min, max] bounds for ``col``
+        overlap [lo, hi] — METADATA-ONLY data skipping (the Iceberg
+        lower_bounds/upper_bounds trick at partition granularity).
+        Partitions committed without ``stats_cols`` carry no bounds and
+        are conservatively kept."""
+        lo, hi = _json_stat(lo), _json_stat(hi)
+        out = {}
+        for pval, rec in self.committed_partitions(table).items():
+            bounds = (rec.get("stats") or {}).get(col)
+            if bounds is None or not (hi < bounds[0] or lo > bounds[1]):
+                out[pval] = rec
+        return out
+
+    def read_where_between(self, table: str, col: str, lo, hi) -> DataFrame:
+        """Range read with manifest-bounds pruning: only partitions whose
+        committed ``col`` bounds overlap [lo, hi] are scanned (the residual
+        row filter still applies — bounds are partition-coarse). At 100 TB
+        a needle query touches the handful of overlapping partitions'
+        files instead of the table."""
+        live = self.pruned_partitions(table, col, lo, hi)
+        if not live:
+            return self.read(table).filter(F.lit(False))
+        return self._read_live(table, live).filter(F.col(col).between(lo, hi))
 
     def delete_where_older(
         self, table: str, cutoff: str, partition_col: str = "bucket_date"

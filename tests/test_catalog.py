@@ -568,3 +568,36 @@ def test_diff_snapshots_across_rollback(spark, tmp_path):
     # and s1 -> head is empty (identical states) -> explicit error
     with pytest.raises(ValueError):
         cat.diff_snapshots("t", s1["snapshot_id"])
+
+
+def test_manifest_column_stats_pruned_read(spark, tmp_path):
+    """stats_cols at commit time record per-partition [min, max] bounds
+    from parquet footers (metadata only); read_where_between scans ONLY
+    overlapping partitions and still row-filters exactly."""
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "stats"))
+    mk = lambda rows: spark.createDataFrame(rows, "k string, bucket_date string, v bigint")
+    rows = []
+    for day, base in (("2024-01-01", 0), ("2024-01-02", 1000), ("2024-01-03", 2000)):
+        rows += [(f"k{j}", day, base + j) for j in range(100)]
+    cat.overwrite_partitions("t", mk(rows), stats_cols=["v"])
+
+    live = cat.committed_partitions("t")
+    assert live["2024-01-01"]["stats"]["v"] == [0, 99]
+    assert live["2024-01-03"]["stats"]["v"] == [2000, 2099]
+
+    # metadata-only pruning: the middle partition alone overlaps
+    assert set(cat.pruned_partitions("t", "v", 1050, 1060)) == {"2024-01-02"}
+    got = cat.read_where_between("t", "v", 1050, 1060)
+    assert sorted(r.v for r in got.collect()) == list(range(1050, 1061))
+    # range spanning two partitions
+    assert set(cat.pruned_partitions("t", "v", 90, 1010)) == {
+        "2024-01-01", "2024-01-02",
+    }
+    assert cat.read_where_between("t", "v", 90, 1010).count() == 10 + 11
+    # disjoint range -> empty frame, zero partitions scanned
+    assert set(cat.pruned_partitions("t", "v", 5000, 6000)) == set()
+    assert cat.read_where_between("t", "v", 5000, 6000).count() == 0
+    # commits without stats_cols stay conservatively unpruned
+    cat2 = ParquetManifestCatalog(spark, str(tmp_path / "nostats"))
+    cat2.overwrite_partitions("t", mk(rows))
+    assert len(cat2.pruned_partitions("t", "v", 5000, 6000)) == 3
