@@ -137,7 +137,10 @@ def refresh_tiers(
                 recomputed_bnd
             )
         results[table] = catalog.overwrite_partitions(
-            table, parts, partition_col="bucket_date", input_watermark=watermark
+            table, parts, partition_col="bucket_date", input_watermark=watermark,
+            # footer-derived bucket_start bounds -> metadata-only time-range
+            # skipping on every tier (catalog.read_where_between)
+            stats_cols=["bucket_start"],
         )
 
     for table in TIER_TABLES:

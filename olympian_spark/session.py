@@ -83,6 +83,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # modern timestamp encoding: INT96 is legacy, 12 bytes/value and
+        # carries NO row-group min/max statistics — which would blind the
+        # manifest column-bounds data skipping (catalog stats_cols) and
+        # parquet row-group pruning on every tier's bucket_start
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

@@ -601,3 +601,18 @@ def test_manifest_column_stats_pruned_read(spark, tmp_path):
     cat2 = ParquetManifestCatalog(spark, str(tmp_path / "nostats"))
     cat2.overwrite_partitions("t", mk(rows))
     assert len(cat2.pruned_partitions("t", "v", 5000, 6000)) == 3
+
+
+def test_refresh_commits_bucket_start_bounds(spark, tmp_path):
+    """Tier refresh records bucket_start bounds in the manifest, and a
+    time-range read prunes to the overlapping day partitions only."""
+    full, first, split = _split_by_day(spark)
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "tstats"))
+    refresh_tiers(spark, cat, full, watermark="wm", params=PARAMS)
+    live = cat.committed_partitions("tier_1h")
+    assert live and all(
+        "bucket_start" in (rec.get("stats") or {}) for rec in live.values()
+    )
+    some_day = sorted(live)[1]
+    lo, hi = f"{some_day}T06:00:00", f"{some_day}T07:00:00"
+    assert set(cat.pruned_partitions("tier_1h", "bucket_start", lo, hi)) == {some_day}
