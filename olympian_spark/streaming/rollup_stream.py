@@ -281,3 +281,31 @@ def streaming_turn_gaps(stream: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_sessions(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-conversation session windows on a stream (Structured
+    Streaming's native ``session_window``: gap-based windows that merge
+    as events arrive; state finalizes and evicts once the watermark
+    passes a session's end — the streaming analogue of the batch
+    sessionize (q16) lag-gap logic).
+
+    Output per closed session: conv_id, session_start/end, n_turns,
+    sum_text_len. Append mode emits each session exactly once."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns",
+            "sum_text_len",
+        )
+    )

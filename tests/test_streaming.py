@@ -364,3 +364,61 @@ def test_streaming_exact_dedup_cross_batch(spark, doc_stream_dir, tmp_path):
     assert sorted(got["fingerprint"]) == sorted(
         r["fingerprint"] for r in batch.select("fingerprint").collect()
     )
+
+
+def test_streaming_sessions_match_batch(spark, stream_dir, tmp_path):
+    """session_window on the stream == the same session_window in batch ==
+    the lag-gap sessionization (three independent formulations of one
+    semantics)."""
+    from olympian_spark.streaming.rollup_stream import streaming_sessions
+
+    stream = read_transcripts_stream(spark, stream_dir)
+    q = (
+        streaming_sessions(stream, gap="30 minutes", watermark="0 seconds")
+        .writeStream.format("memory").queryName("ssess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cks"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT * FROM ssess ORDER BY conv_id, session_start"
+    ).toPandas()
+
+    batch_all = (
+        spark.read.parquet(stream_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"),
+             F.sum(F.length("text")).alias("sum_text_len"))
+        .selectExpr("conv_id", "w.start AS session_start", "w.end AS session_end",
+                    "n_turns", "sum_text_len")
+        .orderBy("conv_id", "session_start")
+        .toPandas()
+    )
+    # append mode only finalizes sessions whose end passed the final
+    # watermark (= max event time): the globally-last session stays open
+    max_ts = spark.read.parquet(stream_dir).agg(F.max("ts")).collect()[0][0]
+    batch = batch_all[batch_all["session_end"] <= max_ts].reset_index(drop=True)
+    assert len(batch_all) - len(batch) >= 1  # at least the open tail session
+    assert len(got) == len(batch)
+    assert got.reset_index(drop=True).equals(batch)
+
+    # lag-gap formulation: session count per conv matches
+    from pyspark.sql import Window as W
+
+    df = spark.read.parquet(stream_dir)
+    w = W.partitionBy("conv_id").orderBy("ts")
+    gaps = df.withColumn("prev", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        (F.col("prev").isNull())
+        | ((F.unix_micros("ts") - F.unix_micros("prev")) > 30 * 60 * 1_000_000),
+    )
+    lag_counts = (
+        gaps.groupBy("conv_id").agg(F.sum(F.col("new_sess").cast("long")).alias("n"))
+        .orderBy("conv_id").toPandas()
+    )
+    sw_counts = (
+        batch_all.groupby("conv_id").size().reset_index(name="n").sort_values("conv_id")
+    )
+    assert list(lag_counts["n"]) == list(sw_counts["n"])
