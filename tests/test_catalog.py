@@ -616,3 +616,37 @@ def test_refresh_commits_bucket_start_bounds(spark, tmp_path):
     some_day = sorted(live)[1]
     lo, hi = f"{some_day}T06:00:00", f"{some_day}T07:00:00"
     assert set(cat.pruned_partitions("tier_1h", "bucket_start", lo, hi)) == {some_day}
+
+
+def test_verify_table_detects_tamper(spark, tmp_path):
+    """verify_table is clean on a healthy table, flags deleted partition
+    dirs and row-count drift, and stays clean across time-travel ops."""
+    import glob
+    import os as _os
+    import shutil
+
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "vt"))
+    mk = lambda rows: spark.createDataFrame(rows, "k string, bucket_date string, v int")
+    cat.overwrite_partitions("t", mk(
+        [("a", "2024-01-01", 1), ("b", "2024-01-02", 2), ("c", "2024-01-03", 3)]
+    ))
+    rep = cat.verify_table("t")
+    assert rep["ok"] and rep["partitions"] == 3 and rep["issues"] == []
+
+    # retention + new commit keep the audit clean
+    cat.delete_where_older("t", "2024-01-02")
+    cat.overwrite_partitions("t", mk([("d", "2024-01-04", 4)]))
+    assert cat.verify_table("t")["ok"]
+
+    # tamper: remove one live partition's files
+    live = cat.committed_partitions("t")
+    rec = live["2024-01-02"]
+    pdir = _os.path.join(cat._snap_dir("t", rec["snapshot_id"]), "bucket_date=2024-01-02")
+    for f in glob.glob(_os.path.join(pdir, "*.parquet")):
+        _os.remove(f)
+    rep2 = cat.verify_table("t")
+    assert not rep2["ok"]
+    assert any("2024-01-02" in i for i in rep2["issues"])
+    shutil.rmtree(pdir)
+    rep3 = cat.verify_table("t")
+    assert any("missing directory" in i for i in rep3["issues"])
