@@ -222,12 +222,19 @@ def unigram_logprob(
     toks = F.when(
         F.length(trimmed) == 0, F.expr("CAST(array() AS ARRAY<STRING>)")
     ).otherwise(F.split(trimmed, r"\s+"))
+    import math
+
     tok_rows = df.select(F.col(id_col), F.explode(toks).alias("token"))
     vocab = tok_rows.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total_w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    vocab = vocab.withColumn("total", F.sum("cnt").over(total_w))
-    kept = (
-        vocab.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    # pass 1 materializes the (bounded, <= max_vocab row) model ONCE —
+    # the window-total rides the same aggregate, and the single collect
+    # pins the global total for the OOV floor literal, so pass 2 is the
+    # only other corpus scan (an uncached total-reaggregation lineage
+    # would have re-scanned the corpus a third time)
+    model = (
+        vocab.withColumn("total", F.sum("cnt").over(total_w))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
         .limit(max_vocab)
         .withColumn(
             "lp_x1e6",
@@ -237,24 +244,20 @@ def unigram_logprob(
             ).cast("long"),
         )
         .select("token", "lp_x1e6", "total")
+        .collect()
     )
-    # OOV floor rides the broadcast side's total; resolve it per row after
-    # the left join (any kept row carries total; OOV rows need it too, so
-    # a 1-row global total is broadcast separately)
-    total_df = vocab.groupBy().agg(F.max("total").alias("total"))
+    if model:
+        total = int(model[0]["total"])
+        oov_lp = math.floor(math.log(float(oov_alpha) / total) * 1e6)
+    else:
+        oov_lp = 0
+    kept = df.sparkSession.createDataFrame(
+        [(r["token"], r["lp_x1e6"]) for r in model] or [(None, 0)],
+        "token STRING, lp_x1e6 LONG",
+    )
     scored = (
-        tok_rows.join(F.broadcast(kept.drop("total")), "token", "left")
-        .crossJoin(F.broadcast(total_df))
-        .withColumn(
-            "lp_final",
-            F.coalesce(
-                F.col("lp_x1e6"),
-                F.floor(
-                    F.log(F.lit(float(oov_alpha)) / F.col("total").cast("double"))
-                    * F.lit(1e6)
-                ).cast("long"),
-            ),
-        )
+        tok_rows.join(F.broadcast(kept), "token", "left")
+        .withColumn("lp_final", F.coalesce(F.col("lp_x1e6"), F.lit(oov_lp)))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
