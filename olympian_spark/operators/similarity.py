@@ -521,6 +521,11 @@ def semantic_dedup(
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     ).withColumn("list_id", assign(F.col("v")))
+    # the assignment subtree is consumed by BOTH self-join sides and (with
+    # the cap on) the cluster-size aggregate — without a persist, Spark
+    # re-runs the pandas-UDF matmul scan once per consumer. Persisted
+    # inside the operator (documented): assignments are id+code sized.
+    c = c.persist()
     if max_cluster_size:
         freq = c.groupBy("list_id").agg(F.count(F.lit(1)).alias("_bn"))
         c = c.join(F.broadcast(freq), "list_id").withColumn(
@@ -554,7 +559,7 @@ def semantic_dedup(
         .groupBy(F.col("b.vec_id").alias("vec_id"))
         .agg(F.min(F.col("a.vec_id")).alias("dup_of"))
     )
-    base = c.select("vec_id")
+    base = corpus.select(F.col(id_col).alias("vec_id"))  # no assignment pass
     return (
         base.join(dups, "vec_id", "left")
         .select(
