@@ -381,6 +381,9 @@ def ivf_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
     ).withColumn("list_id", assign(F.col("cv")))
+    # persisted: the assignment pandas-UDF subtree otherwise re-runs for
+    # the cap's size aggregate, the cap's filter join and the probe join
+    c = c.persist()
     c = _cap_bucket_membership(c, max_list_size, bucket_col="list_id")
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
@@ -426,7 +429,7 @@ def embedding_near_dup_pairs(
     c = with_lsh_bucket(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
         dim, n_planes, vec_col="v",
-    )
+    ).persist()  # consumed by the size aggregate and both self-join sides
     if max_bucket_size:
         # <= 2^n_planes rows: broadcast back onto the corpus for free
         freq = c.groupBy("lsh_bucket").agg(F.count(F.lit(1)).alias("_bn"))
