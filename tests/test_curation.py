@@ -315,3 +315,40 @@ def test_cluster_aware_split_composition(spark):
     assert len(out) == 30
     assert all(len(s) == 1 for s in by_comp.values())
     assert len(by_comp) == 10  # the 3-doc clusters were recovered
+
+
+def test_repetition_hypothesis_arbitrary_text(spark):
+    """Hypothesis: repetition stats match a Python reference on arbitrary
+    text (tabs, newlines, unicode, repeated runs) — pins the \\s+
+    normalization and the fold against whitespace edge cases."""
+    from collections import Counter as C
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab \t\n\rué中")), max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(texts)
+    def check(batch):
+        rows = [(i, t) for i, t in enumerate(batch)]
+        got = {
+            r["doc_id"]: r
+            for r in with_repetition_stats(_docs(spark, rows)).collect()
+        }
+        for i, t in rows:
+            words = t.split()
+            grams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+            r = got[i]
+            assert r["n_words"] == len(words)
+            assert r["n_distinct_words"] == len(set(words))
+            assert r["n_2grams"] == len(grams)
+            assert r["top_2gram_count"] == (max(C(grams).values()) if grams else 0)
+
+    check()
