@@ -51,6 +51,10 @@ from olympian_spark.operators.textstats import (
 def curate_corpus(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
+    embedding_dim: int | None = None,
+    semantic_threshold: float = 0.95,
+    semantic_n_lists: int | None = None,
     targets: dict[str, float] | None = None,
     stratum_col: str = "lang",
     quality_min_x1e6: int = 400_000,
@@ -94,6 +98,25 @@ def curate_corpus(
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     cur = cur.join(losers, "doc_id", "left_anti").cache()
     metrics["after_near_dedup"] = cur.count()
+
+    # 4b. semantic dedup (SemDeDup) when an embeddings frame is wired in:
+    # k-means cells + in-cluster cosine, whole pipeline drops is_dup rows
+    if embeddings is not None:
+        from olympian_spark.operators.similarity import semantic_dedup
+
+        if embedding_dim is None:
+            raise ValueError("embedding_dim required with embeddings")
+        n_lists = semantic_n_lists or max(2, min(64, embeddings.count() // 8))
+        verdict = semantic_dedup(
+            embeddings,
+            dim=embedding_dim,
+            threshold=semantic_threshold,
+            n_lists=n_lists,
+        ).withColumnRenamed("vec_id", "doc_id")
+        cur = cur.join(
+            verdict.where(~F.col("is_dup")).select("doc_id"), "doc_id"
+        ).cache()
+        metrics["after_semantic_dedup"] = cur.count()
 
     # 5. decontamination against the benchmark set
     if benchmark is not None:

@@ -92,3 +92,31 @@ def test_curate_to_catalog_manifest_metrics(spark, corpus, tmp_path):
     # manifest survives reload (metrics are part of the committed record)
     reloaded = cat.current_snapshot("shards")
     assert reloaded["curation_metrics"]["input"] == 49
+
+
+def test_curate_corpus_semantic_stage(spark, corpus):
+    """Wiring an embeddings frame adds the SemDeDup stage: docs whose
+    embeddings are near-identical collapse to the min-id representative."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    ids = [r.doc_id for r in corpus.select("doc_id").collect()]
+    base = {i: rng.normal(0, 1, 16) for i in ids}
+    # docs 8 and 10 share (nearly) doc 6's embedding -> semantic dups
+    base[8] = base[6] + rng.normal(0, 1e-4, 16)
+    base[10] = base[6] + rng.normal(0, 1e-4, 16)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in ids],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    packed, m = curate_corpus(
+        corpus,
+        embeddings=emb,
+        embedding_dim=16,
+        semantic_threshold=0.99,
+        dup_word_max_x1e6=500_000,
+    )
+    assert "after_semantic_dedup" in m
+    assert m["after_semantic_dedup"] <= m["after_near_dedup"] - 2
+    out_ids = {r.doc_id for r in packed.select("doc_id").collect()}
+    assert 6 in out_ids and 8 not in out_ids and 10 not in out_ids
