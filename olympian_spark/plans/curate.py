@@ -62,6 +62,7 @@ def curate_corpus(
     near_dup_threshold: float = 0.8,
     budget: int = 2048,
     n_shards: int = 8,
+    test_frac: float | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the full curation pipeline over a documents frame.
 
@@ -136,6 +137,15 @@ def curate_corpus(
         }
         cur = stratified_sample(cur, rates, stratum_col=stratum_col).cache()
         metrics["after_mixing"] = cur.count()
+
+    # 6b. leakage-safe train/test split, keyed on the exact-dedup
+    # fingerprint computed in stage 3 — duplicate content can never
+    # straddle train/test (and the column ships with the shards)
+    if test_frac is not None:
+        from olympian_spark.operators.curation import leakage_safe_split
+
+        cur = leakage_safe_split(cur, test_frac=test_frac).cache()
+        metrics["n_test"] = cur.where(F.col("split") == "test").count()
 
     # 7. pack into fixed token budgets
     packed = pack_sequences(cur, token_col="ws_tokens", budget=budget, n_shards=n_shards)

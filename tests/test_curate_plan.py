@@ -120,3 +120,15 @@ def test_curate_corpus_semantic_stage(spark, corpus):
     assert m["after_semantic_dedup"] <= m["after_near_dedup"] - 2
     out_ids = {r.doc_id for r in packed.select("doc_id").collect()}
     assert 6 in out_ids and 8 not in out_ids and 10 not in out_ids
+
+
+def test_curate_corpus_split_column(spark, corpus):
+    packed, m = curate_corpus(
+        corpus, dup_word_max_x1e6=500_000, test_frac=0.3, n_shards=2
+    )
+    out = packed.toPandas()
+    assert "split" in out.columns and "rep_id" in out.columns
+    assert set(out["split"].unique()) <= {"train", "test"}
+    assert m["n_test"] == (out["split"] == "test").sum()
+    # survivors are already exact-deduped, so every rep is itself
+    assert (out["rep_id"] == out["doc_id"]).all()

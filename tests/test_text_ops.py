@@ -575,3 +575,24 @@ def test_pq_ann_recall(spark):
     pure = pq_ann_topk(corpus, queries, dim, k=10, m=8, codebooks=B, rerank_factor=None)
     for r in pure.collect():
         assert -1.01 <= r["cos_sim"] <= 1.01
+
+
+def test_codebook_save_load_roundtrip(spark, tmp_path, emb):
+    import numpy as np
+
+    from olympian_spark.operators.similarity import (
+        ivf_ann_topk,
+        load_codebook,
+        save_codebook,
+        train_ivf_centroids,
+    )
+
+    C = train_ivf_centroids(emb, dim=64, n_lists=8, sample_rows=3000)
+    p = str(tmp_path / "cb.npy")
+    save_codebook(p, C)
+    C2 = load_codebook(p)
+    assert np.array_equal(C, C2)
+    qs = emb.filter("vec_id < 3")
+    a = ivf_ann_topk(emb, qs, dim=64, k=5, centroids=C).collect()
+    b = ivf_ann_topk(emb, qs, dim=64, k=5, centroids=C2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
