@@ -2119,6 +2119,47 @@ SELECT user_id, ts_us, value FROM pts WHERE pos IN (0, 2, 4, 9, 11)
 """
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-path as-of join with a match tolerance (operators/asof.py —
+    the union-LOCF plan, one shuffle, no join; tolerance_s gives pandas
+    merge_asof semantics: matches older than 1 hour yield NULL). Right
+    side = sparse marker events (event_id % 7 == 0), deduped to one row
+    per (user, ts) so the <=-tie is unambiguous in both engines. The
+    oracle is DuckDB's native ASOF LEFT JOIN with the same tolerance
+    CASE."""
+    from olympian_spark.operators.asof import asof_join
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.pmod(F.col("event_id"), F.lit(7)) == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("marker"))
+    )
+    out = asof_join(
+        left, right, key="user_id", payload_cols=["marker"], tolerance_s=3600.0
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("marker_asof"), 6).alias("marker_asof"),
+    )
+
+
+_ASOF_TOL_DUCK = """
+WITH r AS (
+  SELECT user_id, ts, max(value) AS marker
+  FROM events WHERE event_id % 7 = 0 GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id,
+       CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= CAST(3600000000 AS BIGINT)
+            THEN round(r.marker, 6) END AS marker_asof
+FROM events l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with
     exact p95 + Gorilla blocks over the events-derived transcripts."""
@@ -2160,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q60_unigram_logprob"] = q_unigram_logprob
     out["q61_lttb_downsample"] = q_lttb
     out["q62_ann_pq_topk"] = q_ann_pq
+    out["q63_asof_tolerance"] = q_asof_tolerance
     return out
 
 
@@ -2241,4 +2283,6 @@ def oracle_sql() -> dict[str, str]:
     out["q61_lttb_downsample"] = _LTTB_DUCK
     # q62 — same recall-bound fold as q34/q39
     out["q62_ann_pq_topk"] = _ANN_DUCK
+    # q63 — DuckDB native ASOF LEFT JOIN + identical tolerance CASE
+    out["q63_asof_tolerance"] = _ASOF_TOL_DUCK
     return out
