@@ -2160,6 +2160,49 @@ FROM events l ASOF LEFT JOIN r
 """
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``session_window`` (gap-based merging windows — the
+    same operator the streaming path uses) against a relational
+    gaps-and-islands oracle: per user, 30-minute-gap sessions with start,
+    end (last event + gap), and event count. Timestamps exported as epoch
+    micros so Arrow typing is engine-neutral."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+_SESSION_W_DUCK = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                 >= CAST(1800000000 AS BIGINT)
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), islands AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + CAST(1800000000 AS BIGINT) AS session_end_us,
+       count(*) AS n_events
+FROM islands GROUP BY user_id, sess
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with
     exact p95 + Gorilla blocks over the events-derived transcripts."""
@@ -2202,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q61_lttb_downsample"] = q_lttb
     out["q62_ann_pq_topk"] = q_ann_pq
     out["q63_asof_tolerance"] = q_asof_tolerance
+    out["q64_session_window"] = q_session_window
     return out
 
 
@@ -2285,4 +2329,6 @@ def oracle_sql() -> dict[str, str]:
     out["q62_ann_pq_topk"] = _ANN_DUCK
     # q63 — DuckDB native ASOF LEFT JOIN + identical tolerance CASE
     out["q63_asof_tolerance"] = _ASOF_TOL_DUCK
+    # q64 — relational gaps-and-islands replay of session_window
+    out["q64_session_window"] = _SESSION_W_DUCK
     return out
