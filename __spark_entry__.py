@@ -2203,6 +2203,32 @@ FROM islands GROUP BY user_id, sess
 """
 
 
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling (operators/curation.
+    importance_sample): each document survives with probability equal to
+    its quality score, decided by the deterministic overflow-safe hash —
+    reproducible ablation sampling, zero RNG state. The oracle composes
+    q28's quality SQL with the identical integer hash filter."""
+    from olympian_spark.operators.curation import importance_sample
+    from olympian_spark.operators.textstats import with_quality_score
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = with_quality_score(docs).withColumn(
+        "rate", F.col("quality_x1e6").cast("double") / F.lit(1e6)
+    )
+    return importance_sample(scored, "rate").select("doc_id", "quality_x1e6")
+
+
+def _importance_duck() -> str:
+    q28 = _SQL["q28_quality_score"][1]
+    return f"""
+WITH q AS ({q28})
+SELECT doc_id, quality_x1e6 FROM q
+WHERE ((doc_id % 1000000007) * 2654435761) % 1000000 < quality_x1e6
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with
     exact p95 + Gorilla blocks over the events-derived transcripts."""
@@ -2246,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q62_ann_pq_topk"] = q_ann_pq
     out["q63_asof_tolerance"] = q_asof_tolerance
     out["q64_session_window"] = q_session_window
+    out["q65_importance_sample"] = q_importance_sample
     return out
 
 
@@ -2331,4 +2358,6 @@ def oracle_sql() -> dict[str, str]:
     out["q63_asof_tolerance"] = _ASOF_TOL_DUCK
     # q64 — relational gaps-and-islands replay of session_window
     out["q64_session_window"] = _SESSION_W_DUCK
+    # q65 — q28's quality SQL + the identical integer hash gate
+    out["q65_importance_sample"] = _importance_duck()
     return out

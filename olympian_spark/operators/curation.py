@@ -367,3 +367,26 @@ def mixing_rates(
         rate_x1e6.alias("rate_x1e6"),
         F.floor(rate_x1e6 * F.col("n_docs") / F.lit(_RATE_MOD)).cast("long").alias("expected_kept"),
     )
+
+
+def importance_sample(
+    df: DataFrame,
+    rate_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-ROW sampling: keep a row with probability
+    ``rate_col`` (a column in [0, 1] — typically a quality score), decided
+    by the same overflow-safe hash as :func:`stratified_sample`, so the
+    kept set is reproducible across runs, engines and repartitionings.
+    The importance-sampling gate quality-weighted corpus ablations use:
+    higher-quality documents survive proportionally more often, with zero
+    RNG state and a pure pushed-to-scan filter.
+    """
+    threshold = F.least(
+        F.lit(_RATE_MOD).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor(F.col(rate_col).cast("double") * _RATE_MOD).cast("long"),
+        ),
+    )
+    return df.where(_hash_unit(F.col(id_col)) < threshold)

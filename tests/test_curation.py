@@ -352,3 +352,33 @@ def test_repetition_hypothesis_arbitrary_text(spark):
             assert r["top_2gram_count"] == (max(C(grams).values()) if grams else 0)
 
     check()
+
+
+def test_importance_sample_exact_and_monotone(spark):
+    from pyspark.sql import functions as F
+
+    from olympian_spark.operators.curation import importance_sample
+
+    df = spark.range(10_000).selectExpr(
+        "id AS doc_id",
+        "CAST(CASE WHEN id % 4 = 0 THEN 0.9 WHEN id % 4 = 1 THEN 0.5"
+        "     WHEN id % 4 = 2 THEN 0.1 ELSE 0.0 END AS DOUBLE) AS q",
+    )
+    kept = importance_sample(df, "q").collect()
+    ids = {r["doc_id"] for r in kept}
+    # reference: identical integer arithmetic
+    exp = set()
+    for i in range(10_000):
+        rate = [0.9, 0.5, 0.1, 0.0][i % 4]
+        if (i % _PRE_MOD) * _KNUTH % _RATE_MOD < int(rate * _RATE_MOD):
+            exp.add(i)
+    assert ids == exp
+    # zero-rate rows never survive; survival is monotone in the rate
+    assert not any(i % 4 == 3 for i in ids)
+    frac = lambda m: sum(1 for i in ids if i % 4 == m) / 2500
+    assert frac(0) > frac(1) > frac(2) > 0
+    # out-of-range rates clamp instead of misbehaving
+    clamped = importance_sample(
+        df.withColumn("q", F.lit(2.0)), "q"
+    ).count()
+    assert clamped == 10_000
