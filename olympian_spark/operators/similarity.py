@@ -614,8 +614,11 @@ def train_pq_codebooks(
     for j in range(m):
         S = X[:, j * dsub : (j + 1) * dsub]
         C = S[rng.choice(n, k_eff, replace=False)].copy()
+        S2 = (S * S).sum(1)[:, None]
         for _ in range(n_iters):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            # ||s-c||^2 = ||s||^2 + ||c||^2 - 2 s.c — BLAS matmul, ~10x the
+            # broadcast-subtraction tensor
+            d2 = S2 + (C * C).sum(1)[None, :] - 2.0 * (S @ C.T)
             a = d2.argmin(1)
             for c in range(k_eff):
                 mem = S[a == c]
@@ -682,7 +685,12 @@ def pq_ann_topk(
         codes = np.empty((len(M), m_), np.uint8)
         for j in range(m_):
             S = M[:, j * dsub : (j + 1) * dsub]
-            d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+            Bj = B[j]
+            d2 = (
+                (S * S).sum(1)[:, None]
+                + (Bj * Bj).sum(1)[None, :]
+                - 2.0 * (S @ Bj.T)
+            )
             codes[:, j] = d2.argmin(1).astype(np.uint8)
         return pd.Series([c.tobytes() for c in codes])
 
