@@ -2229,6 +2229,46 @@ WHERE ((doc_id % 1000000007) * 2654435761) % 1000000 < quality_x1e6
 """
 
 
+def q_unigram_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE unigram models (the CCNet shape: each language's
+    documents scored against their own distribution) — q60's machinery
+    with group_col='lang'; per-group top-K cut and OOV floor. Oracle:
+    the same integer-quantized arithmetic partitioned by lang."""
+    from olympian_spark.operators.textstats import unigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logprob(docs, group_col="lang")
+
+
+_UNIGRAM_GROUPED_DUCK = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), vocab AS (
+  SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token
+), tot AS (
+  SELECT lang, sum(cnt) AS total FROM vocab GROUP BY lang
+), lp AS (
+  SELECT v.lang, v.token,
+         CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000) AS BIGINT) AS lp_x1e6
+  FROM vocab v JOIN tot USING (lang)
+), scored AS (
+  SELECT t.doc_id, count(*) AS n_tokens, sum(l.lp_x1e6) AS sum_lp
+  FROM tok t JOIN lp l ON t.lang = l.lang AND t.token = l.token
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.sum_lp, 0) AS BIGINT) AS sum_lp_x1e6,
+       CAST(CASE WHEN coalesce(s.n_tokens, 0) > 0
+                 THEN floor(-CAST(s.sum_lp AS DOUBLE) / s.n_tokens)
+                 ELSE 0 END AS BIGINT) AS mean_nll_x1e6
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with
     exact p95 + Gorilla blocks over the events-derived transcripts."""
@@ -2273,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q63_asof_tolerance"] = q_asof_tolerance
     out["q64_session_window"] = q_session_window
     out["q65_importance_sample"] = q_importance_sample
+    out["q66_unigram_grouped"] = q_unigram_grouped
     return out
 
 
@@ -2360,4 +2401,6 @@ def oracle_sql() -> dict[str, str]:
     out["q64_session_window"] = _SESSION_W_DUCK
     # q65 — q28's quality SQL + the identical integer hash gate
     out["q65_importance_sample"] = _importance_duck()
+    # q66 — q60's integer-quantized arithmetic partitioned by lang
+    out["q66_unigram_grouped"] = _UNIGRAM_GROUPED_DUCK
     return out

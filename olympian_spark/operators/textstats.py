@@ -192,6 +192,7 @@ def unigram_logprob(
     id_col: str = "doc_id",
     max_vocab: int = 100_000,
     oov_alpha: float = 0.5,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Per-document mean unigram negative log-likelihood — the classic
     LM-based quality filter proxy (the shape of CCNet's KenLM perplexity
@@ -217,6 +218,11 @@ def unigram_logprob(
 
     Output: ``(id_col, n_tokens, sum_lp_x1e6, mean_nll_x1e6)`` where
     ``mean_nll_x1e6 = floor(-sum / n)``; empty documents score 0.
+
+    ``group_col`` trains one model PER GROUP (the CCNet shape: a
+    per-language LM scores each language's documents against its own
+    distribution); the top-``max_vocab`` cut and OOV floor then apply
+    within each group.
     """
     trimmed = F.trim(F.lower(_txt()))
     toks = F.when(
@@ -224,41 +230,74 @@ def unigram_logprob(
     ).otherwise(F.split(trimmed, r"\s+"))
     import math
 
-    tok_rows = df.select(F.col(id_col), F.explode(toks).alias("token"))
-    vocab = tok_rows.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total_w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    gcols = [group_col] if group_col else []
+    tok_rows = df.select(F.col(id_col), *gcols, F.explode(toks).alias("token"))
+    vocab = tok_rows.groupBy(*gcols, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    total_w = (
+        Window.partitionBy(*gcols) if gcols else Window
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     # pass 1 materializes the (bounded, <= max_vocab row) model ONCE —
     # the window-total rides the same aggregate, and the single collect
     # pins the global total for the OOV floor literal, so pass 2 is the
     # only other corpus scan (an uncached total-reaggregation lineage
     # would have re-scanned the corpus a third time)
+    ranked = vocab.withColumn("total", F.sum("cnt").over(total_w))
+    if gcols:
+        rk = F.row_number().over(
+            Window.partitionBy(*gcols).orderBy(F.col("cnt").desc(), F.col("token").asc())
+        )
+        ranked = ranked.withColumn("_rk", rk).filter(F.col("_rk") <= max_vocab)
+    else:
+        ranked = ranked.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(max_vocab)
     model = (
-        vocab.withColumn("total", F.sum("cnt").over(total_w))
-        .orderBy(F.col("cnt").desc(), F.col("token").asc())
-        .limit(max_vocab)
-        .withColumn(
+        ranked.withColumn(
             "lp_x1e6",
             F.floor(
                 F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
                 * F.lit(1e6)
             ).cast("long"),
         )
-        .select("token", "lp_x1e6", "total")
+        .select(*gcols, "token", "lp_x1e6", "total")
         .collect()
     )
-    if model:
-        total = int(model[0]["total"])
-        oov_lp = math.floor(math.log(float(oov_alpha) / total) * 1e6)
+    if group_col:
+        totals = {r[group_col]: int(r["total"]) for r in model}
+        oov_by_group = {
+            g: math.floor(math.log(float(oov_alpha) / t) * 1e6)
+            for g, t in totals.items()
+        }
+        kept = df.sparkSession.createDataFrame(
+            [(r[group_col], r["token"], r["lp_x1e6"]) for r in model]
+            or [(None, None, 0)],
+            f"{group_col} STRING, token STRING, lp_x1e6 LONG",
+        )
+        oov_df = df.sparkSession.createDataFrame(
+            list(oov_by_group.items()) or [(None, 0)],
+            f"{group_col} STRING, _oov_lp LONG",
+        )
+        scored = (
+            tok_rows.join(F.broadcast(kept), [group_col, "token"], "left")
+            .join(F.broadcast(oov_df), group_col, "left")
+            .withColumn(
+                "lp_final",
+                F.coalesce(F.col("lp_x1e6"), F.col("_oov_lp"), F.lit(0)),
+            )
+        )
     else:
-        oov_lp = 0
-    kept = df.sparkSession.createDataFrame(
-        [(r["token"], r["lp_x1e6"]) for r in model] or [(None, 0)],
-        "token STRING, lp_x1e6 LONG",
-    )
+        if model:
+            total = int(model[0]["total"])
+            oov_lp = math.floor(math.log(float(oov_alpha) / total) * 1e6)
+        else:
+            oov_lp = 0
+        kept = df.sparkSession.createDataFrame(
+            [(r["token"], r["lp_x1e6"]) for r in model] or [(None, 0)],
+            "token STRING, lp_x1e6 LONG",
+        )
+        scored = tok_rows.join(F.broadcast(kept), "token", "left").withColumn(
+            "lp_final", F.coalesce(F.col("lp_x1e6"), F.lit(oov_lp))
+        )
     scored = (
-        tok_rows.join(F.broadcast(kept), "token", "left")
-        .withColumn("lp_final", F.coalesce(F.col("lp_x1e6"), F.lit(oov_lp)))
-        .groupBy(id_col)
+        scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("lp_final").alias("sum_lp_x1e6"),

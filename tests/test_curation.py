@@ -382,3 +382,33 @@ def test_importance_sample_exact_and_monotone(spark):
         df.withColumn("q", F.lit(2.0)), "q"
     ).count()
     assert clamped == 10_000
+
+
+def test_unigram_logprob_grouped_models(spark):
+    import math
+
+    from olympian_spark.operators.textstats import unigram_logprob
+
+    rows = [
+        (0, "a a b", "en"),
+        (1, "a", "fr"),
+        (2, "c c", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING")
+    out = {
+        r["doc_id"]: r
+        for r in unigram_logprob(df, group_col="lang").collect()
+    }
+    lp = lambda p: math.floor(math.log(p) * 1e6)
+    # en model: tokens a a b -> p(a)=2/3 p(b)=1/3
+    assert out[0]["sum_lp_x1e6"] == 2 * lp(2 / 3) + lp(1 / 3)
+    # fr model: tokens a c c -> p(a)=1/3 p(c)=2/3 (doc 1 scored on FR stats)
+    assert out[1]["sum_lp_x1e6"] == lp(1 / 3)
+    assert out[2]["sum_lp_x1e6"] == 2 * lp(2 / 3)
+    # grouped OOV floor: per-group total
+    out2 = {
+        r["doc_id"]: r
+        for r in unigram_logprob(df, group_col="lang", max_vocab=1, oov_alpha=0.5).collect()
+    }
+    # fr keeps only 'c' (count 2); 'a' scores ln(0.5/3)
+    assert out2[1]["sum_lp_x1e6"] == lp(0.5 / 3)
