@@ -633,6 +633,32 @@ class ParquetManifestCatalog:
             table, "retention_delete", dropped, cutoff=cutoff, partition_col=partition_col
         )
 
+    def tag_snapshot(self, table: str, name: str, snapshot_id: int | None = None) -> dict:
+        """Named snapshot ref (Iceberg tag): pin a state under a stable
+        name — readable via ``read(table, tag=...)`` and PROTECTED from
+        ``expire_snapshots`` vacuuming however old it gets (release /
+        eval-dataset pinning). Tags are append-only manifest records; the
+        latest record for a name wins, so re-tagging moves the ref."""
+        target = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.current_snapshot(table)["snapshot_id"]
+        )
+        snaps = self._load_manifest(table)["snapshots"]
+        if not any(s["snapshot_id"] == target for s in snaps):
+            raise ValueError(f"{table}: unknown snapshot {target}")
+        return self._append_snapshot(table, "tag", {}, tag_name=name, target=target)
+
+    def resolve_tag(self, table: str, name: str) -> int:
+        for s in reversed(self._load_manifest(table)["snapshots"]):
+            if s["op"] == "tag" and s.get("tag_name") == name:
+                return s["target"]
+        raise ValueError(f"{table}: no tag {name!r}")
+
+    def read_tag(self, table: str, name: str) -> DataFrame:
+        """Snapshot-consistent read of a tagged state."""
+        return self.read(table, as_of=self.resolve_tag(table, name))
+
     def rollback(self, table: str, to_snapshot: int) -> dict:
         """Restore the table to a prior snapshot's state by APPENDING a
         rollback record (history is never rewritten — Iceberg semantics).
@@ -654,6 +680,11 @@ class ParquetManifestCatalog:
         snaps = self._load_manifest(table)["snapshots"]
         committed_ids = [s["snapshot_id"] for s in snaps]
         keep_states = [None] + (committed_ids[-keep_last:] if keep_last > 0 else [])
+        # tagged snapshots are pinned refs (Iceberg tag semantics): their
+        # states stay reachable however old they are
+        keep_states += [
+            s["target"] for s in snaps if s["op"] == "tag"
+        ]
         referenced = set()
         for as_of in keep_states:
             for pval, rec in self._fold(snaps, as_of).items():

@@ -650,3 +650,33 @@ def test_verify_table_detects_tamper(spark, tmp_path):
     shutil.rmtree(pdir)
     rep3 = cat.verify_table("t")
     assert any("missing directory" in i for i in rep3["issues"])
+
+
+def test_snapshot_tags_pin_and_survive_vacuum(spark, tmp_path):
+    """Tags: named refs resolve across later commits, re-tagging moves the
+    ref, and a tagged state's files survive expire_snapshots(keep_last=0)
+    while untagged history is vacuumed."""
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "tags"))
+    mk = lambda rows: spark.createDataFrame(rows, "k string, bucket_date string, v int")
+    s1 = cat.overwrite_partitions("t", mk([("a", "2024-01-01", 1)]))
+    cat.tag_snapshot("t", "v1.0")
+    s2 = cat.overwrite_partitions("t", mk([("a", "2024-01-01", 2)]))
+    s3 = cat.overwrite_partitions("t", mk([("a", "2024-01-01", 3)]))
+
+    assert cat.resolve_tag("t", "v1.0") == s1["snapshot_id"]
+    assert [r.v for r in cat.read_tag("t", "v1.0").collect()] == [1]
+    # re-tag moves the ref
+    cat.tag_snapshot("t", "v1.0", snapshot_id=s2["snapshot_id"])
+    assert [r.v for r in cat.read_tag("t", "v1.0").collect()] == [2]
+    cat.tag_snapshot("t", "release", snapshot_id=s1["snapshot_id"])
+
+    # vacuum: everything unreferenced goes; tagged s1/s2 states survive
+    cat.expire_snapshots("t", keep_last=0)
+    assert [r.v for r in cat.read_tag("t", "release").collect()] == [1]
+    assert [r.v for r in cat.read_tag("t", "v1.0").collect()] == [2]
+    assert [r.v for r in cat.read("t").collect()] == [3]
+    assert cat.verify_table("t")["ok"]
+    with pytest.raises(ValueError):
+        cat.resolve_tag("t", "nope")
+    with pytest.raises(ValueError):
+        cat.tag_snapshot("t", "bad", snapshot_id=99999)
