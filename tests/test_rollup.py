@@ -430,3 +430,23 @@ def test_build_tiers_chunk_grain_passthrough_bit_identical(spark):
                 assert (
                     (pa_[col].isna() & pb_[col].isna()) | (pa_[col] == pb_[col])
                 ).all(), (tier, col)
+
+
+def test_tier_plan_exchange_budget(spark):
+    """Plan-budget regression pin: a full tier plan (QC windows + fused
+    kernel, persist=False so the WHOLE lineage shows) stays within 4
+    Exchanges — the documented shape (stage-1 window exchange, explicit
+    pre-kernel repartition, fused-split redistribution). A new shuffle
+    sneaking into the hot path fails this before it costs a benchmark."""
+    from olympian_spark.datagen import gen_transcripts
+    from olympian_spark.plans.pipeline import QcParams, build_tiers
+
+    pdf = gen_transcripts(n_turns=4000, n_convs=20, seed=3).to_pandas()
+    df = spark.createDataFrame(pdf)
+    tiers = build_tiers(
+        df, QcParams(dip_high=300.0, dip_max=1200.0), persist=False
+    )
+    for name in ("tier_1m", "tier_1h", "tier_1d"):
+        plan = tiers[name]._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("Exchange")
+        assert n <= 4, f"{name}: {n} exchanges (budget 4)\n{plan[:1500]}"
