@@ -2229,6 +2229,45 @@ WHERE ((doc_id % 1000000007) * 2654435761) % 1000000 < quality_x1e6
 """
 
 
+# 67. ordered funnel: per user, first view -> first click AFTER it ->
+# first purchase AFTER that (strict event-time ordering, the classic
+# product-analytics query). Three user-keyed aggregates; each stage's
+# conditional min only sees events after the prior stage's time.
+_FUNNEL_BODY = """
+WITH v AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT e.user_id, v.t_view,
+         min(CASE WHEN e.event_type = 'click' AND e.ts > v.t_view THEN e.ts END) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  GROUP BY e.user_id, v.t_view
+), p AS (
+  SELECT e.user_id, c.t_view, c.t_click,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click THEN e.ts END) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  GROUP BY e.user_id, c.t_view, c.t_click
+)
+SELECT user_id,
+       t_view IS NOT NULL AS reached_view,
+       t_click IS NOT NULL AS reached_click,
+       t_purchase IS NOT NULL AS reached_purchase,
+       {EPOCH_V} AS t_view_us,
+       {EPOCH_C} AS t_click_us,
+       {EPOCH_P} AS t_purchase_us
+FROM p
+"""
+_reg(
+    "q67_funnel",
+    _FUNNEL_BODY.replace("{EPOCH_V}", "unix_micros(CAST(t_view AS TIMESTAMP))")
+    .replace("{EPOCH_C}", "unix_micros(CAST(t_click AS TIMESTAMP))")
+    .replace("{EPOCH_P}", "unix_micros(CAST(t_purchase AS TIMESTAMP))"),
+    _FUNNEL_BODY.replace("{EPOCH_V}", "epoch_us(t_view)")
+    .replace("{EPOCH_C}", "epoch_us(t_click)")
+    .replace("{EPOCH_P}", "epoch_us(t_purchase)"),
+)
+
+
 def q_unigram_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-LANGUAGE unigram models (the CCNet shape: each language's
     documents scored against their own distribution) — q60's machinery
