@@ -2229,6 +2229,30 @@ WHERE ((doc_id % 1000000007) * 2654435761) % 1000000 < quality_x1e6
 """
 
 
+# 68. retention cohorts: users grouped by first-activity week, activity
+# counted per week offset — the product-retention matrix. Week index =
+# floor(epoch_us / 7 days) on purpose (calendar-free integers: immune to
+# engine week-start conventions).
+_COHORT_BODY = """
+WITH wk AS (
+  SELECT user_id, CAST(floor({EPOCH} / 604800000000) AS BIGINT) AS week_idx
+  FROM events
+), cohort AS (
+  SELECT user_id, min(week_idx) AS cohort_week FROM wk GROUP BY user_id
+)
+SELECT c.cohort_week,
+       w.week_idx - c.cohort_week AS week_offset,
+       count(DISTINCT w.user_id) AS n_active_users
+FROM wk w JOIN cohort c ON w.user_id = c.user_id
+GROUP BY c.cohort_week, w.week_idx - c.cohort_week
+"""
+_reg(
+    "q68_retention_cohorts",
+    _COHORT_BODY.replace("{EPOCH}", "unix_micros(CAST(ts AS TIMESTAMP))"),
+    _COHORT_BODY.replace("{EPOCH}", "epoch_us(ts)"),
+)
+
+
 # 67. ordered funnel: per user, first view -> first click AFTER it ->
 # first purchase AFTER that (strict event-time ordering, the classic
 # product-analytics query). Three user-keyed aggregates; each stage's
