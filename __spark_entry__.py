@@ -2332,6 +2332,36 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global curriculum rank by quality (operators/curation.
+    curriculum_order): the scale-correct two-pass global rank —
+    repartitionByRange score slabs + per-slab row_number + broadcast
+    offsets — asserted (test-pinned) to contain NO single-partition
+    exchange, where the naive global window would serialize the corpus
+    into one task. The oracle is that naive global window (fine at
+    oracle scale), so the hash proves the distributed rank IS the
+    global order."""
+    from olympian_spark.operators.curation import curriculum_order
+    from olympian_spark.operators.textstats import with_quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = with_quality_score(docs)
+    return curriculum_order(scored, "quality_x1e6", n_partitions=8).select(
+        "doc_id", "quality_x1e6", "curriculum_rank"
+    )
+
+
+def _curriculum_duck() -> str:
+    q28 = _SQL["q28_quality_score"][1]
+    return f"""
+WITH q AS ({q28})
+SELECT doc_id, quality_x1e6,
+       CAST(row_number() OVER (ORDER BY quality_x1e6 DESC, doc_id ASC) - 1
+            AS BIGINT) AS curriculum_rank
+FROM q
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with
     exact p95 + Gorilla blocks over the events-derived transcripts."""
@@ -2377,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q64_session_window"] = q_session_window
     out["q65_importance_sample"] = q_importance_sample
     out["q66_unigram_grouped"] = q_unigram_grouped
+    out["q69_curriculum_order"] = q_curriculum_order
     return out
 
 
@@ -2466,4 +2497,7 @@ def oracle_sql() -> dict[str, str]:
     out["q65_importance_sample"] = _importance_duck()
     # q66 — q60's integer-quantized arithmetic partitioned by lang
     out["q66_unigram_grouped"] = _UNIGRAM_GROUPED_DUCK
+    # q69 — the naive global window IS the oracle; the engine's two-pass
+    # distributed rank must reproduce it exactly
+    out["q69_curriculum_order"] = _curriculum_duck()
     return out

@@ -390,3 +390,61 @@ def importance_sample(
         ),
     )
     return df.where(_hash_unit(F.col(id_col)) < threshold)
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    ascending: bool = False,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Global curriculum rank (0-based) by ``score_col`` — the ordering
+    pass of curriculum training (easy/high-quality documents first).
+
+    The naive ``row_number() OVER (ORDER BY score)`` collapses the WHOLE
+    corpus into one task; this is the scale-correct two-pass global rank:
+
+    1. ``repartitionByRange`` on (score, id) — Spark samples range
+       boundaries, so partitions are contiguous score slabs;
+    2. per-partition counts (tiny aggregate) → broadcast cumulative
+       offsets;
+    3. per-partition ``row_number`` (bounded window) + its slab's offset.
+
+    Deterministic total order: ties broken by ``id_col``. Output: input
+    plus ``curriculum_rank``.
+    """
+    n_parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    score = F.col(score_col)
+    idc = F.col(id_col)
+    order = (
+        [score.asc(), idc.asc()] if ascending else [score.desc(), idc.asc()]
+    )
+    parted = df.repartitionByRange(n_parts, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # persisted: range partitioning SAMPLES boundaries, so a re-evaluation
+    # could draw different slabs than the ones the offsets were counted on
+    parted = parted.persist()
+    # offsets: one row per partition — collect is bounded by n_partitions
+    counts = {
+        r["_pid"]: r["n"]
+        for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+        "_pid INT, _off LONG",
+    )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    return (
+        parted.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "curriculum_rank",
+            (F.row_number().over(w) - 1 + F.col("_off")).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )

@@ -412,3 +412,30 @@ def test_unigram_logprob_grouped_models(spark):
     }
     # fr keeps only 'c' (count 2); 'a' scores ln(0.5/3)
     assert out2[1]["sum_lp_x1e6"] == lp(0.5 / 3)
+
+
+def test_curriculum_order_global_rank(spark):
+    from pyspark.sql import functions as F
+
+    from olympian_spark.operators.curation import curriculum_order
+
+    df = spark.range(5000).selectExpr(
+        "id AS doc_id", "CAST(pmod(id * 37, 101) AS DOUBLE) AS q"
+    )
+    out = curriculum_order(df, "q", n_partitions=7).collect()
+    assert len(out) == 5000
+    # rank is a permutation of 0..n-1
+    ranks = sorted(r["curriculum_rank"] for r in out)
+    assert ranks == list(range(5000))
+    # matches the single-partition reference order (score desc, id asc)
+    ref = sorted(((-r["q"], r["doc_id"]) for r in out))
+    by_rank = {r["curriculum_rank"]: (-r["q"], r["doc_id"]) for r in out}
+    for i, key in enumerate(ref):
+        assert by_rank[i] == key
+    # no single-partition exchange in the plan
+    plan = curriculum_order(df, "q", n_partitions=7)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # ascending mode
+    asc = curriculum_order(df, "q", ascending=True, n_partitions=7).collect()
+    first = min(asc, key=lambda r: r["curriculum_rank"])
+    assert first["q"] == min(r["q"] for r in asc)
