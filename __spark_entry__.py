@@ -2253,6 +2253,31 @@ _reg(
 )
 
 
+# 70. trending tokens: per event-day, the top-3 event_types by count with
+# deterministic (count desc, type asc) ranking — the windowed
+# heavy-hitters report (per-day partial aggregates, rank inside the tiny
+# per-day groups).
+_TRENDING_BODY = """
+WITH counts AS (
+  SELECT CAST(floor({EPOCH} / 86400000000) AS BIGINT) AS day_idx,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT day_idx, event_type, n,
+         row_number() OVER (PARTITION BY day_idx
+                            ORDER BY n DESC, event_type ASC) AS rk
+  FROM counts
+)
+SELECT day_idx, event_type, n, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+_reg(
+    "q70_trending_types",
+    _TRENDING_BODY.replace("{EPOCH}", "unix_micros(CAST(ts AS TIMESTAMP))"),
+    _TRENDING_BODY.replace("{EPOCH}", "epoch_us(ts)"),
+)
+
+
 # 67. ordered funnel: per user, first view -> first click AFTER it ->
 # first purchase AFTER that (strict event-time ordering, the classic
 # product-analytics query). Three user-keyed aggregates; each stage's
