@@ -633,6 +633,38 @@ class ParquetManifestCatalog:
             table, "retention_delete", dropped, cutoff=cutoff, partition_col=partition_col
         )
 
+    def optimize_table(
+        self,
+        table: str,
+        partition_col: str = "bucket_date",
+        target_file_bytes: int = 128 << 20,
+        sort_by: list | None = None,
+        zorder_by: list | None = None,
+        keep_last: int = 2,
+        checkpoint_over: int = 64,
+    ) -> dict:
+        """One-call maintenance (the Iceberg OPTIMIZE shape): compact
+        fragmented partitions, squash the manifest once it exceeds
+        ``checkpoint_over`` snapshots, and vacuum everything unreachable
+        beyond ``keep_last`` states (tags stay pinned). Returns a summary
+        of what each step did — the cron job a deployment schedules."""
+        out: dict = {}
+        snap = self.compact_partitions(
+            table, partition_col=partition_col,
+            target_file_bytes=target_file_bytes,
+            sort_by=sort_by, zorder_by=zorder_by,
+        )
+        out["compacted"] = bool(snap)
+        n_snaps = len(self._load_manifest(table)["snapshots"])
+        if n_snaps > checkpoint_over:
+            self.checkpoint_manifest(table)
+            out["checkpointed"] = True
+        else:
+            out["checkpointed"] = False
+        exp = self.expire_snapshots(table, keep_last=keep_last)
+        out["removed_dirs"] = exp.get("removed_dirs", 0)
+        return out
+
     def tag_snapshot(self, table: str, name: str, snapshot_id: int | None = None) -> dict:
         """Named snapshot ref (Iceberg tag): pin a state under a stable
         name — readable via ``read(table, tag=...)`` and PROTECTED from

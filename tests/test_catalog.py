@@ -680,3 +680,22 @@ def test_snapshot_tags_pin_and_survive_vacuum(spark, tmp_path):
         cat.resolve_tag("t", "nope")
     with pytest.raises(ValueError):
         cat.tag_snapshot("t", "bad", snapshot_id=99999)
+
+
+def test_optimize_table_one_call(spark, tmp_path):
+    """optimize_table: compaction + vacuum in one call; table readable and
+    audit-clean after; repeated calls are no-ops on a healthy table."""
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "opt"))
+    grid = spark.range(2000).selectExpr(
+        "CAST(id AS DOUBLE) AS x", "'2024-01-01' AS bucket_date",
+        "xxhash64(id) AS scramble",
+    ).repartition(8, "scramble").drop("scramble")
+    cat.overwrite_partitions("t", grid, distribute=False)  # 8 small files
+    cat.overwrite_partitions("t", grid, distribute=False)  # + an old state
+    rep = cat.optimize_table("t", target_file_bytes=8_000, keep_last=0)
+    assert rep["compacted"]
+    assert rep["removed_dirs"] >= 1  # the superseded snapshot was vacuumed
+    assert cat.read("t").count() == 2000
+    assert cat.verify_table("t")["ok"]
+    rep2 = cat.optimize_table("t", target_file_bytes=8_000, keep_last=0)
+    assert not rep2["compacted"]  # already compacted: no rewrite
