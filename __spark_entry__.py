@@ -2387,6 +2387,52 @@ FROM q
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-transition LM scoring (operators/textstats.bigram_logprob):
+    p(w_i | w_{i-1}) from exact corpus counts, integer-quantized before
+    summing (q60's determinism contract). max_vocab far exceeds the test
+    bigram space, so the oracle needs no cut branch."""
+    from olympian_spark.operators.textstats import bigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_logprob(docs)
+
+
+_BIGRAM_DUCK = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), trans AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM t WHERE len(ws) >= 2
+), counts AS (
+  SELECT bigram, count(*) AS cnt FROM trans GROUP BY bigram
+), pref AS (
+  SELECT bigram, cnt,
+         sum(cnt) OVER (PARTITION BY string_split(bigram, ' ')[1]) AS prefix_cnt
+  FROM counts
+), lp AS (
+  SELECT bigram,
+         CAST(floor(ln(CAST(cnt AS DOUBLE) / prefix_cnt) * 1000000) AS BIGINT) AS lp_x1e6
+  FROM pref
+), scored AS (
+  SELECT tr.doc_id, count(*) AS n_transitions, sum(l.lp_x1e6) AS sum_lp
+  FROM trans tr JOIN lp l USING (bigram) GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_transitions, 0) AS BIGINT) AS n_transitions,
+       CAST(coalesce(s.sum_lp, 0) AS BIGINT) AS sum_lp_x1e6,
+       CAST(CASE WHEN coalesce(s.n_transitions, 0) > 0
+                 THEN floor(-CAST(s.sum_lp AS DOUBLE) / s.n_transitions)
+                 ELSE 0 END AS BIGINT) AS mean_nll_x1e6
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: QC-filtered 1h rollup with
     exact p95 + Gorilla blocks over the events-derived transcripts."""
@@ -2433,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q65_importance_sample"] = q_importance_sample
     out["q66_unigram_grouped"] = q_unigram_grouped
     out["q69_curriculum_order"] = q_curriculum_order
+    out["q71_bigram_logprob"] = q_bigram_logprob
     return out
 
 
@@ -2525,4 +2572,6 @@ def oracle_sql() -> dict[str, str]:
     # q69 — the naive global window IS the oracle; the engine's two-pass
     # distributed rank must reproduce it exactly
     out["q69_curriculum_order"] = _curriculum_duck()
+    # q71 — exact-count bigram transitions, integer-quantized like q60
+    out["q71_bigram_logprob"] = _BIGRAM_DUCK
     return out

@@ -321,3 +321,83 @@ def unigram_logprob(
             .alias("mean_nll_x1e6"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    max_vocab: int = 200_000,
+) -> DataFrame:
+    """Per-document mean bigram (transition) negative log-likelihood under
+    the corpus's own bigram model: p(w_i | w_{i-1}) = cnt(w_{i-1} w_i) /
+    cnt(w_{i-1} *) — the next fidelity step after the unigram proxy
+    (:func:`unigram_logprob`): repetitive or scrambled text scores
+    anomalously against learned transitions even when its unigram
+    distribution looks normal.
+
+    Same determinism contract: per-transition log-probs are
+    floor(ln(p)·1e6)-quantized BEFORE summing (integer sums — order-free,
+    engine-exact); both counts are exact integers so the division is the
+    same IEEE double everywhere. Model = top-``max_vocab`` bigrams by
+    (count desc, bigram asc), broadcast; transitions outside the kept set
+    score 0 (they simply don't contribute — the documented cut).
+
+    Output: ``(id_col, n_transitions, sum_lp_x1e6, mean_nll_x1e6)``.
+    """
+    trimmed = F.trim(F.lower(_txt()))
+    toks = F.when(
+        F.length(trimmed) == 0, F.expr("CAST(array() AS ARRAY<STRING>)")
+    ).otherwise(F.split(trimmed, r"\s+"))
+    big = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(2)),
+            lambda i: F.concat_ws(" ", toks[i], toks[i + F.lit(1)]),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    trans = df.select(F.col(id_col), F.explode(big).alias("bigram"))
+    counts = trans.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    prefix_w = Window.partitionBy(F.split(F.col("bigram"), " ")[0]).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    model = (
+        counts.withColumn("prefix_cnt", F.sum("cnt").over(prefix_w))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(max_vocab)
+        .withColumn(
+            "lp_x1e6",
+            F.floor(
+                F.log(F.col("cnt").cast("double") / F.col("prefix_cnt").cast("double"))
+                * F.lit(1e6)
+            ).cast("long"),
+        )
+        .select("bigram", "lp_x1e6")
+    )
+    scored = (
+        trans.join(F.broadcast(model), "bigram", "left")
+        .withColumn("lp_final", F.coalesce(F.col("lp_x1e6"), F.lit(0)))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum("lp_final").alias("sum_lp_x1e6"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_transitions"), F.lit(0)).cast("long").alias("n_transitions"),
+            F.coalesce(F.col("sum_lp_x1e6"), F.lit(0)).cast("long").alias("sum_lp_x1e6"),
+            F.when(
+                F.coalesce(F.col("n_transitions"), F.lit(0)) > 0,
+                F.floor(
+                    -F.col("sum_lp_x1e6").cast("double")
+                    / F.col("n_transitions").cast("double")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mean_nll_x1e6"),
+        )
+    )

@@ -439,3 +439,22 @@ def test_curriculum_order_global_rank(spark):
     asc = curriculum_order(df, "q", ascending=True, n_partitions=7).collect()
     first = min(asc, key=lambda r: r["curriculum_rank"])
     assert first["q"] == min(r["q"] for r in asc)
+
+
+def test_bigram_logprob_values(spark):
+    import math
+
+    from olympian_spark.operators.textstats import bigram_logprob
+
+    rows = [(0, "a b a b"), (1, "a b c"), (2, "x"), (3, None)]
+    # transitions: doc0: (a b),(b a),(a b); doc1: (a b),(b c)
+    # counts: "a b"=3, "b a"=1, "b c"=1; prefixes: a*=3+1? no: prefix a -> "a b"x3; prefix b -> "b a"+"b c"=2
+    out = {r["doc_id"]: r for r in bigram_logprob(_docs(spark, rows)).collect()}
+    lp = lambda c, p: math.floor(math.log(c / p) * 1e6)
+    assert out[0]["n_transitions"] == 3
+    assert out[0]["sum_lp_x1e6"] == 2 * lp(3, 3) + lp(1, 2)  # a-b certain, b-a 1/2
+    assert out[1]["sum_lp_x1e6"] == lp(3, 3) + lp(1, 2)
+    assert out[2]["n_transitions"] == 0 and out[2]["mean_nll_x1e6"] == 0
+    assert out[3]["n_transitions"] == 0
+    # scrambled text scores worse than the dominant transition pattern
+    assert out[1]["mean_nll_x1e6"] > out[0]["mean_nll_x1e6"] - 1
