@@ -698,6 +698,19 @@ FROM (
 """
 _reg("q29_lang_id", _LANG_SPARK, _LANG_DUCK)
 
+# 72. language-ID confusion matrix: the heuristic classifier (q29)
+# against the gold lang label — the QA report any lang-ID deployment
+# watches. Pure composition: classify, join gold, group-count.
+_reg(
+    "q72_lang_confusion",
+    f"""SELECT d.lang, g.lang_guess, CAST(count(*) AS BIGINT) AS n
+    FROM documents d JOIN ({_LANG_SPARK}) g ON d.doc_id = g.doc_id
+    GROUP BY d.lang, g.lang_guess""",
+    f"""SELECT d.lang, g.lang_guess, CAST(count(*) AS BIGINT) AS n
+    FROM documents d JOIN ({_LANG_DUCK}) g ON d.doc_id = g.doc_id
+    GROUP BY d.lang, g.lang_guess""",
+)
+
 # 30. per-document content fingerprint
 _reg(
     "q30_fingerprint",
