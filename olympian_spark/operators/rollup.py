@@ -175,6 +175,10 @@ def _tier_table(conv, buckets, starts, ts_us, gaps, tl, ok) -> "pa.Table":
     per-bucket loop carries only the f32 oracle math (sum/mean/quantile,
     faithful to the oracle) and the Gorilla block encode. NaN doubles as the
     NULL marker for the f32 measure columns (legit values are always finite).
+
+    ``conv`` is either a scalar conversation key (single-group kernels) or a
+    pre-taken pyarrow array with one entry per bucket (the multi-group
+    streaming kernel) — the arithmetic is identical either way.
     """
     nb = starts.size - 1
     counts = np.diff(starts).astype(np.int64)
@@ -239,7 +243,7 @@ def _tier_table(conv, buckets, starts, ts_us, gaps, tl, ok) -> "pa.Table":
         {
             # conv key passes through as-is: string conv_id, or int64 when
             # the caller dictionary-encoded conversation keys upstream
-            "conv_id": pa.array([conv] * nb),
+            "conv_id": conv if isinstance(conv, pa.Array) else pa.array([conv] * nb),
             "bucket_us": pa.array(bucket_out),
             "n_turns": pa.array(counts),
             "n_qc_fail": pa.array(n_fail_arr),
@@ -436,7 +440,7 @@ _DAY_US = 86_400_000_000
 
 
 def _coarse_tier_from_rows(
-    conv: str,
+    conv,
     row_cb: np.ndarray,
     ts_us: np.ndarray,
     gaps: np.ndarray,
@@ -445,6 +449,8 @@ def _coarse_tier_from_rows(
     fine_cb: np.ndarray,
     fine_sum_gap: np.ndarray,
     fine_sum_tl: np.ndarray,
+    starts: np.ndarray | None = None,
+    fstarts: np.ndarray | None = None,
 ) -> "pa.Table":
     """Coarse tier rows computed from raw member rows + finer-tier partials,
     bit-identical to ``rollup_coarser`` over the materialized finer tier:
@@ -455,9 +461,16 @@ def _coarse_tier_from_rows(
 
     ``row_cb``: per-row coarse bucket (sorted, contiguous groups);
     ``fine_cb``: per-finer-bucket coarse bucket (same grouping order).
+    ``conv`` is a scalar key or a per-coarse-bucket pyarrow array; ``starts``
+    / ``fstarts`` override the value-change boundary detection for
+    multi-conversation inputs (where equal adjacent bucket values can belong
+    to different conversations and boundaries must include the key change).
     """
     n = row_cb.size
-    starts = np.concatenate(([0], np.flatnonzero(row_cb[1:] != row_cb[:-1]) + 1, [n]))
+    if starts is None:
+        starts = np.concatenate(
+            ([0], np.flatnonzero(row_cb[1:] != row_cb[:-1]) + 1, [n])
+        )
     nb = starts.size - 1
     counts = np.diff(starts).astype(np.int64)
     csum_ok = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
@@ -465,9 +478,10 @@ def _coarse_tier_from_rows(
     n_fail_arr = counts - n_ok_arr
     bucket_out = row_cb[starts[:-1]]
 
-    fstarts = np.concatenate(
-        ([0], np.flatnonzero(fine_cb[1:] != fine_cb[:-1]) + 1, [fine_cb.size])
-    )
+    if fstarts is None:
+        fstarts = np.concatenate(
+            ([0], np.flatnonzero(fine_cb[1:] != fine_cb[:-1]) + 1, [fine_cb.size])
+        )
     sum_gap64 = fine_sum_gap.astype(np.float64)
     out_sum_tl = np.add.reduceat(fine_sum_tl, fstarts[:-1]).astype(np.int64)
 
@@ -499,7 +513,7 @@ def _coarse_tier_from_rows(
 
     return pa.table(
         {
-            "conv_id": pa.array([conv] * nb),
+            "conv_id": conv if isinstance(conv, pa.Array) else pa.array([conv] * nb),
             "bucket_us": pa.array(bucket_out),
             "n_turns": pa.array(counts),
             "n_qc_fail": pa.array(n_fail_arr),
@@ -515,24 +529,110 @@ def _coarse_tier_from_rows(
     )
 
 
+def _fused_process(tbl: "pa.Table") -> "pa.Table":
+    """All three tier grains for a sorted multi-conversation Arrow table.
+
+    Input rows are sorted by (conv_id, day, turn_idx) and contain only
+    COMPLETE (conv_id, day) segments. Per-bucket arithmetic is identical to
+    the old single-group fused kernel (slices of the same arrays fed to the
+    same numpy ops), so output is bit-identical — segment membership only
+    decides which rows are visible to one call, and every output bucket
+    (minute/hour/day) nests inside a single day.
+    """
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    conv_flat = tbl.column("conv_id").combine_chunks()
+    # dictionary codes give a vectorized adjacent-inequality over string keys
+    codes = pc.dictionary_encode(conv_flat).indices.to_numpy(zero_copy_only=False)
+    ts_us = _npcol(tbl, "_ts_us").astype(np.int64, copy=False)
+    gaps = _f32col(tbl, "turn_gap_s")
+    tl = _f32col(tbl, "text_len")
+    ok = _npcol(tbl, "_is_fail") != 1
+    day = ts_us - ts_us % _DAY_US  # numpy floor-mod: pre-epoch safe
+    seg_change = (codes[1:] != codes[:-1]) | (day[1:] != day[:-1])
+
+    def bounds(change: np.ndarray, size: int) -> np.ndarray:
+        return np.concatenate(([0], np.flatnonzero(change) + 1, [size]))
+
+    # minute tier
+    b_m = ts_us - ts_us % 60_000_000
+    starts_m = bounds(seg_change | (b_m[1:] != b_m[:-1]), n)
+    conv_m = conv_flat.take(pa.array(starts_m[:-1]))
+    t_m = _tier_table(conv_m, b_m, starts_m, ts_us, gaps, tl, ok)
+
+    seg_id = np.concatenate(([0], np.cumsum(seg_change)))
+
+    # hour tier from minute partials
+    row_h = b_m - b_m % _HOUR_US
+    starts_h = bounds(seg_change | (row_h[1:] != row_h[:-1]), n)
+    fine_b_m = b_m[starts_m[:-1]]
+    seg_m = seg_id[starts_m[:-1]]
+    hb_m = fine_b_m - fine_b_m % _HOUR_US
+    fstarts_h = bounds((seg_m[1:] != seg_m[:-1]) | (hb_m[1:] != hb_m[:-1]), hb_m.size)
+    conv_h = conv_flat.take(pa.array(starts_h[:-1]))
+    t_h = _coarse_tier_from_rows(
+        conv_h, row_h, ts_us, gaps, tl, ok, hb_m,
+        _f32col(t_m, "sum_gap"),
+        _npcol(t_m, "sum_text_len").astype(np.int64, copy=False),
+        starts=starts_h, fstarts=fstarts_h,
+    )
+
+    # day tier from hour partials
+    starts_d = bounds(seg_change | (day[1:] != day[:-1]), n)
+    fine_b_h = row_h[starts_h[:-1]]
+    seg_h = seg_id[starts_h[:-1]]
+    db_h = fine_b_h - fine_b_h % _DAY_US
+    fstarts_d = bounds((seg_h[1:] != seg_h[:-1]) | (db_h[1:] != db_h[:-1]), db_h.size)
+    conv_d = conv_flat.take(pa.array(starts_d[:-1]))
+    t_d = _coarse_tier_from_rows(
+        conv_d, day, ts_us, gaps, tl, ok, db_h,
+        _f32col(t_h, "sum_gap"),
+        _npcol(t_h, "sum_text_len").astype(np.int64, copy=False),
+        starts=starts_d, fstarts=fstarts_d,
+    )
+
+    def tag(t: "pa.Table", g: int) -> "pa.Table":
+        return t.append_column(
+            "_grain", pa.array(np.full(t.num_rows, g, np.int8), pa.int8())
+        )
+
+    return pa.concat_tables([tag(t_m, 0), tag(t_h, 1), tag(t_d, 2)])
+
+
 def rollup_tiers_fused(
     df: DataFrame,
     fail_flag_col: str | None = "flag_dip",
     chunk_grain: str = "week",
     max_chunk_rows: int | None = _DEFAULT_MAX_CHUNK_ROWS,
 ) -> DataFrame:
-    """All three tiers (1m/1h/1d) in ONE shuffle + ONE kernel pass.
+    """All three tiers (1m/1h/1d) in ONE shuffle + ONE streaming kernel pass.
 
     The cascade (rollup_1m -> rollup_coarser x2) costs three shuffles and
-    two materialization barriers; but a (conv, week) chunk already contains
-    every row of each of its hours and days, so one kernel can emit all
-    three grains. Output is the tier schema plus a ``_grain`` tag
+    two materialization barriers; one pass over day-segmented turns can emit
+    all three grains. Output is the tier schema plus a ``_grain`` tag
     (0=minute, 1=hour, 2=day); rows are bit-identical to the cascade's
     (tested), because the coarse levels reuse the finer level's f32
     partial sums exactly as rollup_coarser does.
 
-    At cluster scale this turns tier refresh from 3 wide stages into 1,
-    and removes two rounds of (persist + read-back) of the finest tier.
+    Execution (round 6): a whole-partition ``mapInArrow`` stream replaces the
+    per-group ``applyInArrow`` channel. Rows are hash-partitioned AND sorted
+    by (conv_id, day, turn_idx); the kernel processes every complete
+    (conv, day) segment of each Arrow batch vectorized across segments,
+    holding back only the trailing incomplete segment. This removes
+
+    - the per-group Python channel overhead (one kernel invocation per
+      (conv, week) group -> one per ~64k-row batch),
+    - the in-kernel per-group argsort (rows arrive sorted), and
+    - the skew-guard pre-pass entirely (``_skew_split_chunk``'s extra
+      aggregation + broadcast join): day segments are already the finest
+      output-preserving split, so worker memory is bounded by one
+      (conv, day) + one batch with no hot-key detection needed.
+
+    ``chunk_grain`` / ``max_chunk_rows`` are retained for API compatibility;
+    the streaming kernel always processes day-aligned segments (output for
+    any day-aligned chunking is bit-identical), so they no longer affect
+    the result or the execution shape.
     """
     ts = F.col("ts").cast("timestamp")
     fail = (
@@ -540,67 +640,64 @@ def rollup_tiers_fused(
         if fail_flag_col
         else F.lit(0)
     )
+    ts_us_col = F.unix_micros(ts)
     base = df.select(
         "conv_id",
-        F.unix_micros(F.date_trunc(_GRAIN[chunk_grain], ts)).alias("_chunk"),
+        # day key via pmod — explicitly the kernel's numpy floor-mod rule,
+        # so partition routing and in-kernel segmentation can never disagree
+        # (date_trunc agrees too in a UTC session; pmod makes it structural)
+        (ts_us_col - F.pmod(ts_us_col, F.lit(_DAY_US))).alias("_chunk"),
         F.col("turn_idx"),
-        F.unix_micros(ts).alias("_ts_us"),
+        ts_us_col.alias("_ts_us"),
         F.col("turn_gap_s"),
         F.col("text_len"),
         fail.alias("_is_fail"),
     )
 
-    def kernel(tbl: "pa.Table") -> "pa.Table":
-        conv = tbl.column("conv_id")[0].as_py()
-        order = np.argsort(_npcol(tbl, "turn_idx"), kind="stable")
-        ts_us = _npcol(tbl, "_ts_us").astype(np.int64, copy=False)[order]
-        # minute bucket derived in-kernel (fixed-µs == date_trunc in UTC);
-        # saves an 8-byte column across the kernel exchange
-        buckets = ts_us - ts_us % 60_000_000
-        gaps = _f32col(tbl, "turn_gap_s")[order]
-        tl = _f32col(tbl, "text_len")[order]
-        ok = (_npcol(tbl, "_is_fail") != 1)[order]
-        n = buckets.size
-        starts_m = np.concatenate(
-            ([0], np.flatnonzero(buckets[1:] != buckets[:-1]) + 1, [n])
-        )
-        t_m = _tier_table(conv, buckets, starts_m, ts_us, gaps, tl, ok)
+    def stream_kernel(batches):
+        import pyarrow.compute as pc
 
-        # hour from minute partials (UTC: fixed-µs truncation == date_trunc)
-        fine_b_m = buckets[starts_m[:-1]]
-        m_sum_gap = _f32col(t_m, "sum_gap")
-        m_sum_tl = _npcol(t_m, "sum_text_len").astype(np.int64, copy=False)
-        row_h = buckets - (buckets % _HOUR_US)
-        t_h = _coarse_tier_from_rows(
-            conv, row_h, ts_us, gaps, tl, ok,
-            fine_b_m - (fine_b_m % _HOUR_US), m_sum_gap, m_sum_tl,
-        )
-
-        # day from hour partials
-        fine_b_h = _npcol(t_h, "bucket_us").astype(np.int64, copy=False)
-        h_sum_gap = _f32col(t_h, "sum_gap")
-        h_sum_tl = _npcol(t_h, "sum_text_len").astype(np.int64, copy=False)
-        row_d = row_h - (row_h % _DAY_US)
-        t_d = _coarse_tier_from_rows(
-            conv, row_d, ts_us, gaps, tl, ok,
-            fine_b_h - (fine_b_h % _DAY_US), h_sum_gap, h_sum_tl,
-        )
-
-        def tag(t: "pa.Table", g: int) -> "pa.Table":
-            return t.append_column(
-                "_grain", pa.array(np.full(t.num_rows, g, np.int8), pa.int8())
+        pending: "pa.Table | None" = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            if pending is not None:
+                tbl = pa.concat_tables([pending, tbl]).combine_chunks()
+            nr = tbl.num_rows
+            conv = tbl.column("conv_id").combine_chunks()
+            ts_np = (
+                tbl.column("_ts_us").combine_chunks()
+                .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
             )
+            day_np = ts_np - ts_np % _DAY_US  # numpy floor-mod: pre-epoch safe
+            # rows belonging to the same (conv, day) segment as the LAST row;
+            # the table is sorted, so that segment is the maximal True suffix
+            same = (
+                pc.equal(conv, conv[nr - 1]).to_numpy(zero_copy_only=False)
+                & (day_np == day_np[-1])
+            )
+            not_same = np.flatnonzero(~same)
+            if not_same.size == 0:
+                pending = tbl  # the whole table is one (possibly continuing) segment
+                continue
+            start = int(not_same[-1]) + 1  # first row of the trailing segment
+            yield from _fused_process(tbl.slice(0, start).combine_chunks()).to_batches()
+            pending = tbl.slice(start)
+        if pending is not None and pending.num_rows:
+            yield from _fused_process(pending.combine_chunks()).to_batches()
 
-        return pa.concat_tables([tag(t_m, 0), tag(t_h, 1), tag(t_d, 2)])
-
-    # all three emitted grains nest in a day -> day-aligned skew split is
-    # always output-preserving here
-    base = _skew_split_chunk(base, max_chunk_rows)
-    return _restore_bucket(
-        _kernel_input(base, "conv_id", "_chunk")
-        .groupBy("conv_id", "_chunk")
-        .applyInArrow(kernel, _tier_schema_us(df) + ", _grain tinyint")
+    n_part = 2 * df.sparkSession.sparkContext.defaultParallelism
+    out = (
+        base.repartition(n_part, "conv_id", "_chunk")
+        .sortWithinPartitions("conv_id", "_chunk", "turn_idx")
+        # project AFTER the sort: the sort keys _chunk/turn_idx never cross
+        # the JVM->Python Arrow channel (the kernel re-derives the day from
+        # _ts_us and rows already arrive ordered)
+        .select("conv_id", "_ts_us", "turn_gap_s", "text_len", "_is_fail")
+        .mapInArrow(stream_kernel, _tier_schema_us(df) + ", _grain tinyint")
     )
+    return _restore_bucket(out)
 
 
 def rollup_by_dimension(
