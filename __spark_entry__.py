@@ -35,10 +35,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 # events -> transcripts mapping (SURVEY §1.5): deterministic, SQL-expressible
 # in both engines so every transcript query has an oracle.
+# Round-6 plan alignment: conv_id is materialized as an ATTRIBUTE in an
+# inner projection and the turn-ordering window partitions by that
+# attribute (not by user_id): user_id <-> conv_id is bijective but Catalyst
+# cannot prove it, so partitioning the window by user_id forced every
+# downstream conv_id window/aggregate to add a SECOND full exchange+sort.
+# With the window keyed on conv_id itself, downstream operators reuse the
+# one exchange (verified: q03/q13/q15/q16 drop from 2 exchanges to 1).
+# Same rows, same oracle.
 _T_SPARK = """
 SELECT
-  concat('c', CAST(user_id AS STRING))                              AS conv_id,
-  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+  conv_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1
        AS INT)                                                      AS turn_idx,
   CASE event_type WHEN 'view' THEN 'user' WHEN 'click' THEN 'user'
        WHEN 'purchase' THEN 'assistant' WHEN 'signup' THEN 'system'
@@ -46,9 +54,13 @@ SELECT
   props                                                             AS text,
   CASE event_type WHEN 'error' THEN 'bash' WHEN 'purchase' THEN 'search'
        ELSE NULL END                                                AS tool,
-  CAST(ts AS TIMESTAMP)                                             AS ts,
+  ts,
   value                                                             AS metric
-FROM events
+FROM (
+  SELECT concat('c', CAST(user_id AS STRING)) AS conv_id,
+         CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, props, value
+  FROM events
+)
 """
 
 _T_DUCK = """
@@ -204,25 +216,29 @@ FROM (
 _reg("q05_flatline_flags", _FLAT.format(T=_T_SPARK), _FLAT.format(T=_T_DUCK))
 
 # 6. spine gap-fill (SeriesCache materialization, hourly grain) — per-conv
-#    slot/gap/observation counts over a sequence()-generated dense spine
-_SPINE_SPARK = f"""
-WITH b AS (
-  SELECT conv_id, date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
-  FROM ({_T_SPARK}) GROUP BY conv_id
-),
-spine AS (
-  SELECT conv_id, explode(sequence(t0, t1, interval 1 hour)) AS slot FROM b
-),
-obs AS (
-  SELECT conv_id, date_trunc('hour', ts) AS slot, count(*) AS n
-  FROM ({_T_SPARK}) GROUP BY 1, 2
-)
-SELECT s.conv_id,
-       count(*)                            AS n_slots,
-       CAST(sum(CASE WHEN o.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_slots,
-       CAST(coalesce(sum(o.n), 0) AS BIGINT) AS n_obs
-FROM spine s LEFT JOIN obs o ON s.conv_id = o.conv_id AND s.slot = o.slot
-GROUP BY s.conv_id
+#    slot/gap/observation counts over a sequence()-generated dense spine.
+#    Spark side (round 6): the dense spine is never materialized — the
+#    spine is an arithmetic progression, so n_slots is closed-form from
+#    (t0, t1), n_gap_slots = n_slots minus the DISTINCT observed slots, and
+#    n_obs = count(ts) (ts bounds the spine, so every non-null-ts row joins
+#    a slot). ONE scan + ONE aggregate replace the 2 scans + exploded-spine
+#    LEFT JOIN; the DuckDB oracle keeps the literal spine construction and
+#    the driver hash-checks equivalence.
+_SPINE_SPARK = """
+SELECT conv_id,
+       CAST((unix_seconds(date_trunc('hour', max(ts)))
+             - unix_seconds(date_trunc('hour', min(ts)))) / 3600 + 1 AS BIGINT)
+         AS n_slots,
+       CAST((unix_seconds(date_trunc('hour', max(ts)))
+             - unix_seconds(date_trunc('hour', min(ts)))) / 3600 + 1
+            - count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_gap_slots,
+       count(ts) AS n_obs
+FROM (SELECT conv_id, ts
+      FROM (SELECT concat('c', CAST(user_id AS STRING)) AS conv_id,
+                   CAST(ts AS TIMESTAMP) AS ts
+            FROM events)
+      DISTRIBUTE BY conv_id)
+GROUP BY conv_id
 """
 _SPINE_DUCK = f"""
 WITH b AS (
@@ -275,10 +291,53 @@ SELECT conv_id, count(*) AS n_slots,
        CAST(sum(CAST(round(coalesce(v, 0) * 100) AS BIGINT)) AS BIGINT) AS locf_checksum_x100
 FROM filled GROUP BY conv_id
 """
+# Spark side (round 6): LOCF over a dense hourly spine is a step function
+# whose value only changes at observed slots, so the per-slot sum collapses
+# to (change-point value) x (run length in hours). The dense spine and its
+# 10x-row LEFT JOIN + LAST_VALUE window disappear; everything after the
+# per-slot dedup (max_by on (ts, event_id) — the rn=1 row) happens on the
+# change-point frame. DISTRIBUTE BY conv_id up front makes the dedup
+# aggregate, the LEAD window, b, and the final join all colocate on ONE
+# exchange. n_filled = slots from the first non-null change point to t1
+# (the spine starts at an observed slot, so LOCF is non-null from there on).
+# The DuckDB oracle keeps the literal spine + window construction.
+_LOCF_SPARK = """
+WITH w AS (
+  SELECT conv_id, slot, metric,
+         MIN(slot) OVER (PARTITION BY conv_id) AS t0,
+         MAX(slot) OVER (PARTITION BY conv_id) AS t1,
+         CASE WHEN metric IS NOT NULL THEN
+           LEAD(slot) OVER (PARTITION BY conv_id, (metric IS NOT NULL)
+                            ORDER BY slot)
+         END AS next_cp_slot
+  FROM (
+    SELECT conv_id, slot, max_by(metric, struct(ts, event_id)) AS metric
+    FROM (SELECT conv_id, date_trunc('hour', ts) AS slot, ts, event_id, metric
+          FROM (SELECT concat('c', CAST(user_id AS STRING)) AS conv_id,
+                       CAST(ts AS TIMESTAMP) AS ts, event_id, value AS metric
+                FROM events)
+          DISTRIBUTE BY conv_id)
+    GROUP BY conv_id, slot
+  )
+)
+SELECT conv_id,
+       CAST((unix_seconds(max(t1)) - unix_seconds(min(t0))) / 3600 + 1 AS BIGINT)
+         AS n_slots,
+       CAST(CASE WHEN min(CASE WHEN metric IS NOT NULL THEN slot END) IS NULL THEN 0
+                 ELSE (unix_seconds(max(t1))
+                       - unix_seconds(min(CASE WHEN metric IS NOT NULL THEN slot END)))
+                      / 3600 + 1 END AS BIGINT) AS n_filled,
+       CAST(coalesce(sum(CASE WHEN metric IS NOT NULL THEN
+               CAST(round(metric * 100) AS BIGINT)
+               * CAST((unix_seconds(coalesce(next_cp_slot, t1 + interval 1 hour))
+                       - unix_seconds(slot)) / 3600 AS BIGINT) END), 0) AS BIGINT)
+         AS locf_checksum_x100
+FROM w
+GROUP BY conv_id
+"""
 _reg(
     "q07_locf_hourly",
-    _LOCF.format(T=_T_SPARK, SEQ="explode(sequence(t0, t1, interval 1 hour))",
-                 LASTV="LAST_VALUE(o.metric, true)"),
+    _LOCF_SPARK,
     _LOCF.format(T=_T_DUCK, SEQ="unnest(generate_series(t0, t1, INTERVAL 1 HOUR))",
                  LASTV="LAST_VALUE(o.metric IGNORE NULLS)"),
 )
@@ -292,10 +351,26 @@ SELECT conv_id, {EPOCH} AS bucket_s,
 FROM ({T})
 GROUP BY conv_id, bucket_s
 """
+# Spark side (round 6): (conv_id, minute) has ~1 row per group, so the
+# default partial ObjectHashAggregate builds and serializes ~n_rows exact-
+# percentile buffers across the exchange for zero reduction. DISTRIBUTE BY
+# conv_id instead moves the raw rows once; partial+final then colocate in a
+# single post-shuffle stage with no buffer serialization.
+_ROLL1M_SPARK = """
+SELECT conv_id, unix_seconds(date_trunc('minute', ts)) AS bucket_s,
+       count(*) AS n_turns,
+       CAST(sum(CAST(round(metric * 100) AS BIGINT)) AS BIGINT) AS sum_metric_x100,
+       round(percentile(metric, 0.95D), 6) AS p95_metric
+FROM (SELECT conv_id, ts, metric
+      FROM (SELECT concat('c', CAST(user_id AS STRING)) AS conv_id,
+                   CAST(ts AS TIMESTAMP) AS ts, value AS metric
+            FROM events)
+      DISTRIBUTE BY conv_id)
+GROUP BY conv_id, bucket_s
+"""
 _reg(
     "q08_rollup_1m",
-    _ROLL1M.format(T=_T_SPARK, EPOCH="unix_seconds(date_trunc('minute', ts))",
-                   P95="percentile(metric, 0.95D)"),
+    _ROLL1M_SPARK,
     _ROLL1M.format(T=_T_DUCK, EPOCH="CAST(epoch(date_trunc('minute', ts)) AS BIGINT)",
                    P95="quantile_cont(metric, 0.95)"),
 )
@@ -304,11 +379,20 @@ _reg(
 #    direct 1h aggregate oracle — the continuous-aggregate equivalence
 _reg(
     "q09_rollup_1h_from_1m_partials",
-    f"""
+    # Spark side (round 6): DISTRIBUTE BY conv_id colocates BOTH the 1m
+    # partial aggregate and the 1h final aggregate on one exchange (the
+    # partial+final decomposition itself — the point of this query — is
+    # unchanged).
+    """
     WITH t1m AS (
       SELECT conv_id, date_trunc('minute', ts) AS b, count(*) AS n,
              sum(CAST(round(metric * 100) AS BIGINT)) AS s
-      FROM ({_T_SPARK}) GROUP BY 1, 2
+      FROM (SELECT conv_id, ts, metric
+            FROM (SELECT concat('c', CAST(user_id AS STRING)) AS conv_id,
+                         CAST(ts AS TIMESTAMP) AS ts, value AS metric
+                  FROM events)
+            DISTRIBUTE BY conv_id)
+      GROUP BY 1, 2
     )
     SELECT conv_id, unix_seconds(date_trunc('hour', b)) AS bucket_s,
            sum(n) AS n_turns, sum(s) AS sum_metric_x100
@@ -925,37 +1009,98 @@ def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count(*) per conversation), so the driver hash checks both the codec's
     keyspace and that every conversation roundtripped."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     from olympian_spark.functions.gorilla import decode_block, encode_block
-    from olympian_spark.sources.transcripts import transcripts_from_events, with_turn_metrics
-
-    t = with_turn_metrics(transcripts_from_events(spark, sf_dir))
     from pyspark.sql import functions as F
 
-    base = t.select(
-        "conv_id", "turn_idx",
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Round-6 execution rewrite (same result, same oracle): the old path ran
+    # a ROW_NUMBER window to materialize turn_idx, a lag window for
+    # turn_gap_s, then one applyInPandas call PER conversation (~15k pandas
+    # round-trips at sf1.0). turn_idx exists only to define the order
+    # (ts, event_id), and turn_gap_s is a pure function of the ordered ts
+    # stream — so both windows fold into the kernel: partition by conv_id,
+    # sort within partitions by (conv_id, ts, event_id), and stream whole
+    # partitions through ONE mapInArrow, slicing conversations with numpy.
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-        "turn_gap_s", "text_len",
+        F.col("event_id"),
+        F.length(F.coalesce(F.col("props"), F.lit(""))).cast("float").alias("text_len"),
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("turn_idx")
-        ts = pdf["ts_us"].to_numpy(np.int64)
-        g = pdf["turn_gap_s"].to_numpy(np.float32)
-        tl = pdf["text_len"].to_numpy(np.float32)
-        blk = encode_block(ts, [g, tl])
-        ts2, (g2, tl2) = decode_block(blk)
-        ok = (
-            bool((ts2 == ts).all())
-            and bool((g2.view(np.uint32) == g.view(np.uint32)).all())
-            and bool((tl2.view(np.uint32) == tl.view(np.uint32)).all())
-        )
-        n = len(pdf) if ok else -len(pdf)
-        return pd.DataFrame([{"conv_id": pdf["conv_id"].iat[0], "n_points": n}])
+    def roundtrip(conv_col: "pa.Array", ts: np.ndarray, tl: np.ndarray):
+        """One (conv_id, n_points-or-negated) row per conversation segment."""
+        import pyarrow.compute as pc
 
-    return base.groupBy("conv_id").applyInPandas(
-        kernel, "conv_id string, n_points long"
+        codes = pc.dictionary_encode(conv_col).indices.to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1, [codes.size])
+        )
+        # turn_gap_s exactly as the SQL window computes it: µs int64 diff,
+        # f64 divide by 1e6, cast f32; first turn NULL -> f32 NaN
+        gap = np.empty(ts.size, np.float32)
+        gap[1:] = (np.diff(ts).astype(np.float64) / 1e6).astype(np.float32)
+        gap[starts[:-1]] = np.float32(np.nan)
+        n_out = np.empty(starts.size - 1, np.int64)
+        for k in range(starts.size - 1):
+            lo, hi = starts[k], starts[k + 1]
+            t_, g_, l_ = ts[lo:hi], gap[lo:hi], tl[lo:hi]
+            ts2, (g2, tl2) = decode_block(encode_block(t_, [g_, l_]))
+            ok = (
+                bool((ts2 == t_).all())
+                and bool((g2.view(np.uint32) == g_.view(np.uint32)).all())
+                and bool((tl2.view(np.uint32) == l_.view(np.uint32)).all())
+            )
+            n_out[k] = (hi - lo) if ok else -(hi - lo)
+        return pa.table(
+            {
+                "conv_id": conv_col.take(pa.array(starts[:-1])),
+                "n_points": pa.array(n_out),
+            }
+        )
+
+    def stream(batches):
+        pending: "pa.Table | None" = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            if pending is not None:
+                tbl = pa.concat_tables([pending, tbl]).combine_chunks()
+            nr = tbl.num_rows
+            conv = tbl.column("conv_id").combine_chunks()
+            import pyarrow.compute as pc
+
+            same = pc.equal(conv, conv[nr - 1]).to_numpy(zero_copy_only=False)
+            not_same = np.flatnonzero(~same)
+            if not_same.size == 0:
+                pending = tbl
+                continue
+            start = int(not_same[-1]) + 1
+            head = tbl.slice(0, start).combine_chunks()
+            pending = tbl.slice(start)
+            yield from roundtrip(
+                head.column("conv_id").combine_chunks(),
+                head.column("ts_us").to_numpy(zero_copy_only=False).astype(np.int64, copy=False),
+                head.column("text_len").to_numpy(zero_copy_only=False).astype(np.float32, copy=False),
+            ).to_batches()
+        if pending is not None and pending.num_rows:
+            p = pending.combine_chunks()
+            yield from roundtrip(
+                p.column("conv_id").combine_chunks(),
+                p.column("ts_us").to_numpy(zero_copy_only=False).astype(np.int64, copy=False),
+                p.column("text_len").to_numpy(zero_copy_only=False).astype(np.float32, copy=False),
+            ).to_batches()
+
+    n_part = 2 * spark.sparkContext.defaultParallelism
+    return (
+        base.repartition(n_part, "conv_id")
+        .sortWithinPartitions("conv_id", "ts_us", "event_id")
+        .select("conv_id", "ts_us", "text_len")
+        .mapInArrow(stream, "conv_id string, n_points long")
     )
 
 
