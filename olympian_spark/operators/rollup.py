@@ -605,6 +605,7 @@ def rollup_tiers_fused(
     fail_flag_col: str | None = "flag_dip",
     chunk_grain: str = "week",
     max_chunk_rows: int | None = _DEFAULT_MAX_CHUNK_ROWS,
+    assume_clustered: bool = False,
 ) -> DataFrame:
     """All three tiers (1m/1h/1d) in ONE shuffle + ONE streaming kernel pass.
 
@@ -633,6 +634,17 @@ def rollup_tiers_fused(
     the streaming kernel always processes day-aligned segments (output for
     any day-aligned chunking is bit-identical), so they no longer affect
     the result or the execution shape.
+
+    ``assume_clustered=True`` (guide §2.4: remove shuffles outright) skips
+    the kernel's own repartition+sort when the CALLER guarantees the input
+    is already hash-partitioned by conv_id with each partition sorted by
+    (conv_id, turn_idx) — exactly what the stage-1 QC window stage emits.
+    The whole QC+tier path then runs on ONE exchange. This is an
+    order-dependent contract the planner cannot check: passing an
+    arbitrarily-ordered frame with it set yields duplicate bucket rows, so
+    it stays opt-in (``build_tiers`` sets it for its own pinned lineage;
+    AQE partition COALESCING is safe — merged partitions concatenate whole
+    hash partitions, keeping conversations contiguous and sorted).
     """
     ts = F.col("ts").cast("timestamp")
     fail = (
@@ -687,6 +699,15 @@ def rollup_tiers_fused(
         if pending is not None and pending.num_rows:
             yield from _fused_process(pending.combine_chunks()).to_batches()
 
+    schema = _tier_schema_us(df) + ", _grain tinyint"
+    if assume_clustered:
+        # ride the caller's existing (conv_id-partitioned, turn-ordered)
+        # layout: no exchange, no sort — the kernel's day segmentation works
+        # on any conversation-contiguous, time-ordered stream
+        out = base.select(
+            "conv_id", "_ts_us", "turn_gap_s", "text_len", "_is_fail"
+        ).mapInArrow(stream_kernel, schema)
+        return _restore_bucket(out)
     n_part = 2 * df.sparkSession.sparkContext.defaultParallelism
     out = (
         base.repartition(n_part, "conv_id", "_chunk")
@@ -695,7 +716,7 @@ def rollup_tiers_fused(
         # the JVM->Python Arrow channel (the kernel re-derives the day from
         # _ts_us and rows already arrive ordered)
         .select("conv_id", "_ts_us", "turn_gap_s", "text_len", "_is_fail")
-        .mapInArrow(stream_kernel, _tier_schema_us(df) + ", _grain tinyint")
+        .mapInArrow(stream_kernel, schema)
     )
     return _restore_bucket(out)
 

@@ -100,20 +100,29 @@ def build_tiers(
             return d.localCheckpoint(eager=True)
         return d.persist() if persist else d
 
-    # The materialized frame sits BELOW the stage-1 exchange and carries
-    # ONLY what downstream consumes: text replaced by its 4-byte length
-    # (caching megabytes of strings costs more than recomputing the
-    # codegen'd length — and the string must never cross the shuffle).
-    # role/tool live here for the dimension rollups, which need NO window
-    # output (ts + dim + text_len only) — feeding them scan-side means the
-    # dimension strings never cross the stage-1 exchange either: the
-    # exchange moves exactly (conv_id, turn_idx, ts, text_len) per row.
-    pre = mat(
-        df.select(
-            "conv_id", "turn_idx", "ts", "role", "tool",
-            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("float").alias("text_len"),
-        )
+    # The narrow frame sits BELOW the stage-1 exchange and carries ONLY what
+    # downstream consumes: text replaced by its 4-byte length (caching
+    # megabytes of strings costs more than recomputing the codegen'd
+    # length — and the string must never cross the shuffle). role/tool live
+    # here for the dimension rollups, which need NO window output (ts + dim
+    # + text_len only) — feeding them scan-side means the dimension strings
+    # never cross the stage-1 exchange either: the exchange moves exactly
+    # (conv_id, turn_idx, ts, text_len) per row.
+    #
+    # Fused path: NOT persisted (round 6). Its consumers are the QC/kernel
+    # chain (exactly once) and the dimension rollups — and the latter never
+    # reference turn_idx, so Catalyst prunes the ordering window from their
+    # lineage and they recompute from a pruned scan + aggregate, which is
+    # cheaper than paying a row-cache materialization barrier + memory for
+    # the whole turn stream (and at 10^12 turns a cache of the raw stream
+    # would spill anyway). The cascade path keeps the cache: its three
+    # per-tier materializations genuinely re-read the frame.
+    pre = df.select(
+        "conv_id", "turn_idx", "ts", "role", "tool",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("float").alias("text_len"),
     )
+    if not fused:
+        pre = mat(pre)
     # QC flags over the narrow frame. No flag_step/flag_flatline in the
     # projection — tier measures filter on flag_dip alone, and column
     # pruning then lets Catalyst drop the flatline check's second window
@@ -124,11 +133,18 @@ def build_tiers(
         "conv_id", "turn_idx", "ts", "turn_gap_s", "text_len", "flag_dip"
     )
     if fused:
-        # slim has a single consumer (the fused kernel) -> no cache for it
+        # slim has a single consumer (the fused kernel) -> no cache for it.
+        # assume_clustered: slim's lineage ENDS in the stage-1 QC windows,
+        # whose exchange hash-partitions by conv_id and whose sort orders
+        # every partition by (conv_id, turn_idx) — the flatline windows
+        # (the only differently-keyed sort) are pruned by the projection
+        # above. The fused kernel therefore rides that one exchange; the
+        # whole QC+tier path is a single shuffle (plan-pinned in
+        # test_tier_plan_exchange_budget).
         tagged = mat(
             rollup_tiers_fused(
                 slim, fail_flag_col="flag_dip", max_chunk_rows=max_chunk_rows,
-                chunk_grain=chunk_grain,
+                chunk_grain=chunk_grain, assume_clustered=True,
             )
         )
         t1m = tagged.filter("_grain = 0").drop("_grain")

