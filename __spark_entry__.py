@@ -139,12 +139,33 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
 _DIP_DUCK = _DIP_SPARK.replace(_G_SPARK, _G_DUCK)
 
 
+# Temp-view registration is metadata work (7 parquet footer reads on the
+# driver, ~0.2s) that every SQL query call repeated. Cache the last
+# registered sf_dir per live session and skip re-registration when it is
+# unchanged — re-registering on a dir switch keeps multi-SF harnesses
+# correct, and the WeakKeyDictionary drops entries with their session (no
+# stale-id reuse). Results are untouched: this caches catalog state, never
+# data or query output.
+import weakref as _weakref
+
+_VIEWS_FOR: "_weakref.WeakKeyDictionary[SparkSession, str]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    if _VIEWS_FOR.get(spark) == sf_dir:
+        return
+    for t in ("events", "lineitem", "orders", "customer", "nation",
+              "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    _VIEWS_FOR[spark] = sf_dir
+
+
 def _sql_query(spark_sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        for t in ("events", "lineitem", "orders", "customer", "nation",
-                  "documents", "embeddings"):
-            spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        _register_views(spark, sf_dir)
         return spark.sql(spark_sql)
 
     return run
