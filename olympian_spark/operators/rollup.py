@@ -491,13 +491,48 @@ def _coarse_tier_from_rows(
     out_gap_obs = np.zeros(nb, np.int64)
     out_valid = np.zeros(nb, np.int64)
     out_mean_tl = np.full(nb, np.nan, F32)
-    out_blocks = []
-    for k in range(nb):
+    out_blocks: list = [None] * nb
+
+    # Vectorized fast paths mirroring _tier_table's singleton handling — the
+    # dominant shapes of sparse series (most coarse buckets hold 0 or 1
+    # passing row). Bit-exactness per class:
+    # * n_ok == 1: the block is the fixed-layout singleton; exactly one fine
+    #   partial in the slice is finite (the passing row's own bucket, whose
+    #   partial IS the row's f32 gap), so F32(nansum(f64 slice)) == that gap
+    #   with no rounding, mean = sg / f32(1) == sg, p95 of one value is the
+    #   value, mean_tl = F32(F32(tl) / f32(1)) == tl.
+    # * n_ok == 0: the block encodes empty streams (a constant), every
+    #   measure keeps its default (NaN / 0) — identical to the loop body.
+    n_ok_arr2 = n_ok_arr.astype(np.int64, copy=False)
+    single = n_ok_arr2 == 1
+    if single.any():
+        sidx = np.flatnonzero(single)
+        okpos = np.flatnonzero(ok)
+        row = okpos[csum_ok[starts[sidx]]]  # the single passing row per bucket
+        g0 = gaps[row]
+        t0 = tl[row]
+        fin = np.isfinite(g0)
+        out_valid[sidx] = fin.astype(np.int64)
+        out_gap_obs[sidx] = (~fin).astype(np.int64)
+        out_sum_gap[sidx[fin]] = g0[fin]
+        out_mean_gap[sidx[fin]] = g0[fin]
+        out_p95[sidx[fin]] = g0[fin]
+        out_mean_tl[sidx] = t0
+        for k, blk in zip(sidx, encode_singleton_blocks(ts_us[row], g0, t0)):
+            out_blocks[k] = blk
+    empty = n_ok_arr2 == 0
+    if empty.any():
+        eb = encode_block(np.empty(0, np.int64),
+                          [np.empty(0, F32), np.empty(0, F32)])
+        for k in np.flatnonzero(empty):
+            out_blocks[k] = eb
+
+    for k in np.flatnonzero(n_ok_arr2 > 1):
         lo, hi = starts[k], starts[k + 1]
         m = ok[lo:hi]
         g = gaps[lo:hi][m]
         t_ = tl[lo:hi][m]
-        out_blocks.append(encode_block(ts_us[lo:hi][m], [g, t_]))
+        out_blocks[k] = encode_block(ts_us[lo:hi][m], [g, t_])
         n_ok = t_.size
         finite = np.isfinite(g)
         nv = int(finite.sum())
