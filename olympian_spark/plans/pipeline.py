@@ -121,30 +121,47 @@ def build_tiers(
         "conv_id", "turn_idx", "ts", "role", "tool",
         F.length(F.coalesce(F.col("text"), F.lit(""))).cast("float").alias("text_len"),
     )
-    if not fused:
+    if fused:
+        # Pin the stage-1 exchange with an EXPLICIT conv_id repartition the
+        # QC windows then reuse (same key -> no second shuffle). Without it
+        # AQE coalesces the window shuffle by BYTES — sorted narrow turn
+        # rows compress to ~1 byte/row, so a 16M-turn stage collapsed to 10
+        # partitions and the CPU-bound window+kernel stage ran ~10-way on
+        # 32 cores. User-specified partition counts are exempt from AQE
+        # coalescing; on a real cluster 2x defaultParallelism scales with
+        # the executor fleet. Applied on the KERNEL branch only — the
+        # dimension rollups (separate actions, no cross-job shuffle reuse)
+        # keep the shuffle-free scan-side lineage.
+        n_part = 2 * df.sparkSession.sparkContext.defaultParallelism
+        kernel_in = pre.repartition(n_part, "conv_id").drop("role", "tool")
+    else:
         pre = mat(pre)
+        kernel_in = pre
     # QC flags over the narrow frame. No flag_step/flag_flatline in the
     # projection — tier measures filter on flag_dip alone, and column
     # pruning then lets Catalyst drop the flatline check's second window
     # (cumsum run-ids + a per-run count needs an extra sort pass over every
     # turn). Consumers that want the full flag set read `turns_flagged`,
     # which keeps all three (and text) lazily over the original input.
-    slim = qc_flags(pre, params).select(
+    slim = qc_flags(kernel_in, params).select(
         "conv_id", "turn_idx", "ts", "turn_gap_s", "text_len", "flag_dip"
     )
     if fused:
         # slim has a single consumer (the fused kernel) -> no cache for it.
-        # assume_clustered: slim's lineage ENDS in the stage-1 QC windows,
-        # whose exchange hash-partitions by conv_id and whose sort orders
-        # every partition by (conv_id, turn_idx) — the flatline windows
-        # (the only differently-keyed sort) are pruned by the projection
-        # above. The fused kernel therefore rides that one exchange; the
-        # whole QC+tier path is a single shuffle (plan-pinned in
-        # test_tier_plan_exchange_budget).
+        # The kernel does NOT ride the window exchange (assume_clustered
+        # stays False): window semantics force conv-level clustering, and a
+        # single pathological conversation then concentrates the ~25µs/row
+        # Python kernel in ONE task — measured 220s for a 16M-turn input
+        # whose largest conversation holds 53% of all rows, vs ~40s with
+        # the kernel's own (conv, day) repartition spreading that
+        # conversation's 67k day segments across every partition. The
+        # second exchange is the skew guard now (guide §2.5); the JVM-side
+        # window straggler that remains is sort-rate bound, not
+        # Python-rate bound.
         tagged = mat(
             rollup_tiers_fused(
                 slim, fail_flag_col="flag_dip", max_chunk_rows=max_chunk_rows,
-                chunk_grain=chunk_grain, assume_clustered=True,
+                chunk_grain=chunk_grain,
             )
         )
         t1m = tagged.filter("_grain = 0").drop("_grain")
@@ -159,18 +176,32 @@ def build_tiers(
         )
         t1h = mat(rollup_coarser(t1m, "hour", chunk_grain=chunk_grain))
         t1d = rollup_coarser(t1h, "day", chunk_grain=chunk_grain)
-    # dimension rollups stay one-groupBy-per-dimension over the pre-window
-    # cache: map-side partial aggregation collapses each task to
-    # (bucket x dim) partials, so their own shuffles are tiny; the fused
-    # explode alternative (rollup_dims_fused) doubles the partial-agg input
-    # stream — measured 3x slower at 16M turns/32 cores. Fusion only pays
-    # when the input is NOT materialized (straight off a parquet scan).
-    role_1h = rollup_by_dimension(pre, "role", "hour")
-    tool_1h = rollup_by_dimension(pre, "tool", "hour")
+    # Dimension rollups. The round-2 measured decision (one groupBy per
+    # dimension beats the fused explode by ~3x) assumed `pre` was CACHED —
+    # the saved second pass was just a cache read. On the fused path `pre`
+    # is no longer persisted (see above), so each per-dimension rollup would
+    # re-scan parquet and re-decode the wide text column serially; fusing
+    # both dimensions into one pass (rollup_dims_fused) halves the scans and
+    # the small (bucket x kind x value) OUTPUT is what gets materialized.
+    # Slices are exactly rollup_by_dimension's schema (tested). The cascade
+    # path keeps per-dimension rollups over its cached frame.
+    if fused:
+        dims = mat(rollup_dims_fused(pre, ("role", "tool"), "hour"))
+        role_1h = (
+            dims.filter("dim_kind = 'role'").drop("dim_kind")
+            .withColumnRenamed("dim_value", "role")
+        )
+        tool_1h = (
+            dims.filter("dim_kind = 'tool'").drop("dim_kind")
+            .withColumnRenamed("dim_value", "tool")
+        )
+    else:
+        role_1h = rollup_by_dimension(pre, "role", "hour")
+        tool_1h = rollup_by_dimension(pre, "tool", "hour")
     return {
         "turns_flagged": flagged,  # full width (text kept), not cached
         "_slim": pre,
-        **({"_tagged": tagged} if fused else {}),
+        **({"_tagged": tagged, "_dims": dims} if fused else {}),
         "tier_1m": t1m,
         "tier_1h": t1h,
         "tier_1d": t1d,

@@ -73,6 +73,18 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # columnar-cache compression is pure overhead for the engine's hot
+        # cached frame (the fused tier table): its dominant bytes are
+        # Gorilla blocks — already-compressed, high-entropy binary the
+        # cache codec cannot shrink (guide: compression on high-entropy
+        # payloads). Measured: cold persist+count of the 16M-turn tier
+        # frame 64s -> 43s with compression off. Narrow numeric caches
+        # lose a little memory density; flip back per-deployment via
+        # SPARK_GRAFT_CACHE_COMPRESS=true for memory-tight clusters.
+        .config(
+            "spark.sql.inMemoryColumnarStorage.compressed",
+            os.environ.get("SPARK_GRAFT_CACHE_COMPRESS", "false"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # grouped kernels stream per-group Arrow batches. 64k rows/batch
         # measured 1.08x (32 cores) / 1.15x (8 cores) over 10k on the fused

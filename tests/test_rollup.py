@@ -434,10 +434,11 @@ def test_build_tiers_chunk_grain_passthrough_bit_identical(spark):
 
 def test_tier_plan_exchange_budget(spark):
     """Plan-budget regression pin: a full tier plan (QC windows + fused
-    kernel, persist=False so the WHOLE lineage shows) runs on EXACTLY ONE
-    Exchange — the stage-1 window shuffle, which the streaming kernel rides
-    via assume_clustered. A new shuffle sneaking into the hot path fails
-    this before it costs a benchmark."""
+    kernel, persist=False so the WHOLE lineage shows) runs on EXACTLY TWO
+    Exchanges — the pinned stage-1 window shuffle (REPARTITION_BY_NUM, so
+    AQE byte-coalescing cannot starve it) and the kernel's (conv, day)
+    repartition (the conversation-skew spreader). A new shuffle sneaking
+    into the hot path fails this before it costs a benchmark."""
     from olympian_spark.datagen import gen_transcripts
     from olympian_spark.plans.pipeline import QcParams, build_tiers
 
@@ -449,7 +450,7 @@ def test_tier_plan_exchange_budget(spark):
     for name in ("tier_1m", "tier_1h", "tier_1d"):
         plan = tiers[name]._jdf.queryExecution().executedPlan().toString()
         n = plan.count("Exchange")
-        assert n <= 1, f"{name}: {n} exchanges (budget 1)\n{plan[:1500]}"
+        assert n <= 2, f"{name}: {n} exchanges (budget 2)\n{plan[:1500]}"
 
 
 def test_build_tiers_fused_bit_identical_to_cascade(spark):
