@@ -39,9 +39,10 @@ from olympian_spark.flags import Flag
 from olympian_spark.functions.gorilla import (
     decode_block,
     encode_block,
+    encode_blocks,
     encode_singleton_blocks,
 )
-from olympian_spark.oracle.quantile import compute_quantile
+from olympian_spark.oracle.quantile import compute_quantile, compute_quantile_segmented
 
 F32 = np.float32
 
@@ -187,18 +188,28 @@ def _tier_table(conv, buckets, starts, ts_us, gaps, tl, ok) -> "pa.Table":
     n_fail_arr = counts - n_ok_arr
     bucket_out = buckets[starts[:-1]]
 
+    # blocks for ALL buckets in one vectorized pass (bit-identical to the
+    # per-bucket encode_block; property-tested): the block holds the
+    # bucket's passing rows, so boundaries map through the ok-cumsum
+    blocks = encode_blocks(
+        ts_us[ok], [gaps[ok], tl[ok]], csum_ok[starts]
+    )
+    # valid (= passing AND finite-gap) boundaries drive n_valid/n_gap_obs
+    # and the segmented exact-p95 — no per-bucket quantile calls
+    vmask = ok & np.isfinite(gaps)
+    csum_v = np.concatenate(([0], np.cumsum(vmask.astype(np.int64))))
+    v_starts = csum_v[starts]
+    n_valid = (v_starts[1:] - v_starts[:-1]).astype(np.int64)
+    n_gap_obs = n_ok_arr - n_valid
+    p95_gap = compute_quantile_segmented(0.95, gaps[vmask], v_starts)
+
     sum_gap = np.full(nb, np.nan, F32)
     mean_gap = np.full(nb, np.nan, F32)
-    p95_gap = np.full(nb, np.nan, F32)
-    n_gap_obs = np.zeros(nb, np.int64)
-    n_valid = np.zeros(nb, np.int64)
     sum_tl = np.zeros(nb, np.int64)
     mean_tl = np.full(nb, np.nan, F32)
-    blocks: list = [None] * nb
 
-    # singleton buckets (the common case at 1m grain over sparse convs) are
-    # processed wholly vectorized: sum == mean == p95 == the value, block
-    # bytes assembled as a fixed-layout matrix (encode_singleton_blocks)
+    # singleton buckets (the common case at 1m grain over sparse convs):
+    # sum == mean == the value, wholly vectorized
     single = n_ok_arr == 1
     if single.any():
         sidx = np.flatnonzero(single)
@@ -207,35 +218,25 @@ def _tier_table(conv, buckets, starts, ts_us, gaps, tl, ok) -> "pa.Table":
         g0 = gaps[row]
         t0 = tl[row]
         fin = np.isfinite(g0)
-        n_valid[sidx] = fin.astype(np.int64)
-        n_gap_obs[sidx] = (~fin).astype(np.int64)
-        sum_gap[sidx] = g0
-        mean_gap[sidx] = g0
-        p95_gap[sidx] = g0
+        sum_gap[sidx[fin]] = g0[fin]
+        mean_gap[sidx[fin]] = g0[fin]
         sum_tl[sidx] = t0.astype(np.int64)
         mean_tl[sidx] = t0
-        for k, blk in zip(sidx, encode_singleton_blocks(ts_us[row], g0, t0)):
-            blocks[k] = blk
 
-    for k in np.flatnonzero(~single):
+    # the loop keeps ONLY the f32 pairwise sums (np.sum's summation order is
+    # part of the bit-exactness contract with the cascade; a segmented
+    # sequential reduction would round differently)
+    for k in np.flatnonzero(n_ok_arr > 1):
         lo, hi = starts[k], starts[k + 1]
         m = ok[lo:hi]
         g = gaps[lo:hi][m]
         t_ = tl[lo:hi][m]
-        blocks[k] = encode_block(ts_us[lo:hi][m], [g, t_])
         n_ok = t_.size
-        if n_ok == 0:
-            continue
-        finite = np.isfinite(g)
-        valid = g[finite]
-        nv = valid.size
-        n_gap_obs[k] = n_ok - nv
-        n_valid[k] = nv
+        nv = n_valid[k]
         if nv:
-            sg = F32(np.sum(valid, dtype=F32))
+            sg = F32(np.sum(g[np.isfinite(g)], dtype=F32))
             sum_gap[k] = sg
             mean_gap[k] = F32(sg / F32(nv))
-            p95_gap[k] = compute_quantile(0.95, valid)
         sum_tl[k] = int(t_.sum())
         mean_tl[k] = F32(F32(np.sum(t_, dtype=F32)) / F32(n_ok))
 
@@ -254,7 +255,7 @@ def _tier_table(conv, buckets, starts, ts_us, gaps, tl, ok) -> "pa.Table":
             "p95_gap": pa.array(p95_gap, from_pandas=True),
             "sum_text_len": pa.array(sum_tl),
             "mean_text_len": pa.array(mean_tl, from_pandas=True),
-            "block": pa.array(blocks, pa.binary()),
+            "block": blocks,
         }
     )
 
@@ -487,22 +488,26 @@ def _coarse_tier_from_rows(
 
     out_sum_gap = np.full(nb, np.nan, F32)
     out_mean_gap = np.full(nb, np.nan, F32)
-    out_p95 = np.full(nb, np.nan, F32)
-    out_gap_obs = np.zeros(nb, np.int64)
-    out_valid = np.zeros(nb, np.int64)
     out_mean_tl = np.full(nb, np.nan, F32)
-    out_blocks: list = [None] * nb
 
-    # Vectorized fast paths mirroring _tier_table's singleton handling — the
-    # dominant shapes of sparse series (most coarse buckets hold 0 or 1
-    # passing row). Bit-exactness per class:
-    # * n_ok == 1: the block is the fixed-layout singleton; exactly one fine
-    #   partial in the slice is finite (the passing row's own bucket, whose
-    #   partial IS the row's f32 gap), so F32(nansum(f64 slice)) == that gap
-    #   with no rounding, mean = sg / f32(1) == sg, p95 of one value is the
-    #   value, mean_tl = F32(F32(tl) / f32(1)) == tl.
-    # * n_ok == 0: the block encodes empty streams (a constant), every
-    #   measure keeps its default (NaN / 0) — identical to the loop body.
+    # blocks for ALL buckets in one vectorized pass (bit-identical to the
+    # per-bucket encode_block; property-tested)
+    out_blocks = encode_blocks(
+        ts_us[ok], [gaps[ok], tl[ok]], csum_ok[starts]
+    )
+    # valid counts + segmented exact-p95, vectorized
+    vmask = ok & np.isfinite(gaps)
+    csum_v = np.concatenate(([0], np.cumsum(vmask.astype(np.int64))))
+    v_starts = csum_v[starts]
+    out_valid = (v_starts[1:] - v_starts[:-1]).astype(np.int64)
+    out_gap_obs = (n_ok_arr - out_valid).astype(np.int64)
+    out_p95 = compute_quantile_segmented(0.95, gaps[vmask], v_starts)
+
+    # Vectorized singleton fast path (the dominant shape of sparse series):
+    # n_ok == 1 -> exactly one fine partial in the slice is finite (the
+    # passing row's own bucket, whose partial IS the row's f32 gap), so
+    # F32(nansum(f64 slice)) == that gap with no rounding, mean = sg/f32(1)
+    # == sg, mean_tl = F32(F32(tl)/f32(1)) == tl.
     n_ok_arr2 = n_ok_arr.astype(np.int64, copy=False)
     single = n_ok_arr2 == 1
     if single.any():
@@ -512,39 +517,23 @@ def _coarse_tier_from_rows(
         g0 = gaps[row]
         t0 = tl[row]
         fin = np.isfinite(g0)
-        out_valid[sidx] = fin.astype(np.int64)
-        out_gap_obs[sidx] = (~fin).astype(np.int64)
         out_sum_gap[sidx[fin]] = g0[fin]
         out_mean_gap[sidx[fin]] = g0[fin]
-        out_p95[sidx[fin]] = g0[fin]
         out_mean_tl[sidx] = t0
-        for k, blk in zip(sidx, encode_singleton_blocks(ts_us[row], g0, t0)):
-            out_blocks[k] = blk
-    empty = n_ok_arr2 == 0
-    if empty.any():
-        eb = encode_block(np.empty(0, np.int64),
-                          [np.empty(0, F32), np.empty(0, F32)])
-        for k in np.flatnonzero(empty):
-            out_blocks[k] = eb
 
+    # the loop keeps ONLY the order-sensitive reductions: the f64 nansum of
+    # fine partials (pairwise summation is part of the bit-exactness
+    # contract with rollup_coarser) and the f32 pairwise mean_tl sum
     for k in np.flatnonzero(n_ok_arr2 > 1):
         lo, hi = starts[k], starts[k + 1]
         m = ok[lo:hi]
-        g = gaps[lo:hi][m]
         t_ = tl[lo:hi][m]
-        out_blocks[k] = encode_block(ts_us[lo:hi][m], [g, t_])
-        n_ok = t_.size
-        finite = np.isfinite(g)
-        nv = int(finite.sum())
-        out_gap_obs[k] = n_ok - nv
-        out_valid[k] = nv
+        nv = out_valid[k]
         if nv:
             sg = F32(np.nansum(sum_gap64[fstarts[k] : fstarts[k + 1]]))
             out_sum_gap[k] = sg
             out_mean_gap[k] = F32(sg / F32(nv))
-            out_p95[k] = compute_quantile(0.95, g[finite])
-        if n_ok:
-            out_mean_tl[k] = F32(F32(np.sum(t_, dtype=F32)) / F32(n_ok))
+        out_mean_tl[k] = F32(F32(np.sum(t_, dtype=F32)) / F32(t_.size))
 
     return pa.table(
         {
@@ -559,7 +548,7 @@ def _coarse_tier_from_rows(
             "p95_gap": pa.array(out_p95, from_pandas=True),
             "sum_text_len": pa.array(out_sum_tl),
             "mean_text_len": pa.array(out_mean_tl, from_pandas=True),
-            "block": pa.array(out_blocks, pa.binary()),
+            "block": out_blocks,
         }
     )
 

@@ -147,3 +147,91 @@ def test_og1_blocks_rejected_with_rebuild_hint():
 
     with pytest.raises(ValueError, match="full refresh"):
         decode_block(b"OG1" + b"\x01" + b"\x00" * 16)
+
+
+def test_encode_blocks_bit_identical_to_per_block():
+    """The vectorized multi-block encoder must produce byte-identical blocks
+    to encode_block over every segment slice — across n in {0,1,2,3,small,
+    >=_SMALL_N}, empty segments, all dod/xor payload classes, NaN/Inf."""
+    import numpy as np
+
+    from olympian_spark.functions.gorilla import (
+        decode_block,
+        encode_block,
+        encode_blocks,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def check(counts, big_dod=False):
+        counts = np.asarray(counts, np.int64)
+        n = int(counts.sum())
+        ts = np.empty(n, np.int64)
+        pos = 0
+        for c in counts:
+            base = rng.integers(-(2**40), 2**40)
+            scale = 2**35 if big_dod else [1, 100, 40000, 2**34][rng.integers(0, 4)]
+            gaps = rng.integers(0, scale, c) if c else np.empty(0, np.int64)
+            ts[pos : pos + c] = base + np.cumsum(gaps)
+            pos += c
+
+        def f32s():
+            a = rng.normal(0, 1e3, n).astype(np.float32)
+            m = rng.random(n)
+            a[m < 0.2] = np.float32(np.nan)
+            a[m > 0.95] = np.float32(np.inf)
+            if n > 3:  # runs of equal values exercise class-0 xors
+                a[1::3] = a[0::3][: a[1::3].size]
+            return a
+
+        a, b = f32s(), f32s()
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        batch = encode_blocks(ts, [a, b], starts)
+        for i in range(len(counts)):
+            s, e = starts[i], starts[i + 1]
+            ref = encode_block(ts[s:e], [a[s:e], b[s:e]])
+            assert batch[i].as_py() == ref, f"bucket {i} n={counts[i]}"
+            t2, (a2, b2) = decode_block(batch[i].as_py())
+            assert (t2 == ts[s:e]).all()
+            assert (a2.view(np.uint32) == a[s:e].view(np.uint32)).all()
+            assert (b2.view(np.uint32) == b[s:e].view(np.uint32)).all()
+
+    for _ in range(10):
+        check(rng.integers(0, 40, rng.integers(1, 40)))
+    check([0])
+    check([0, 0, 0])
+    check([1, 0, 2, 0, 3])
+    check([31, 32, 33, 200])
+    check([5, 7, 9], big_dod=True)
+
+
+def test_compute_quantile_segmented_bit_identical():
+    """Vectorized per-segment p95 must bit-match the scalar oracle kernel
+    on every slice (incl. empty segments -> NaN and extreme magnitudes)."""
+    import numpy as np
+
+    from olympian_spark.oracle.quantile import (
+        compute_quantile,
+        compute_quantile_segmented,
+    )
+
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        counts = rng.integers(0, 25, rng.integers(1, 40))
+        vals = rng.normal(0, 1e3, counts.sum()).astype(np.float32)
+        if vals.size > 4:
+            vals[0] = np.float32(1e-40)
+            vals[1] = np.float32(3.4e38)
+            vals[2] = np.float32(-3.4e38)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        got = compute_quantile_segmented(0.95, vals, starts)
+        for i, c in enumerate(counts):
+            s, e = starts[i], starts[i + 1]
+            if c == 0:
+                assert np.isnan(got[i])
+            else:
+                want = compute_quantile(0.95, vals[s:e])
+                assert (
+                    np.float32(got[i]).view(np.uint32)
+                    == np.float32(want).view(np.uint32)
+                ), (i, got[i], want)
