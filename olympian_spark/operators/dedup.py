@@ -425,7 +425,16 @@ def incremental_exact_dedup(
     at 100 TB the index table IS the production design; the default
     recompute is the self-contained fallback.
     """
-    diff = cat.diff_snapshots(table, from_snapshot, to_snapshot)
+    try:
+        diff = cat.diff_snapshots(table, from_snapshot, to_snapshot)
+    except ValueError as e:
+        if "identical" not in str(e):
+            raise
+        # no partitions changed (the daily job's no-op day): zero new
+        # keepers, not a crash — emit an empty frame in the result schema
+        return cat.spark.createDataFrame(
+            [], "fingerprint string, keep_doc_id long, n_docs long"
+        )
     added = diff.filter(F.col("change") == "added").drop("change")
     if old_fingerprints is None:
         old_fingerprints = (

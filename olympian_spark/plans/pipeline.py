@@ -25,7 +25,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from olympian_spark.operators.qc_series import dip_flag, step_flag, with_flatline_flag
+from olympian_spark.operators.qc_series import (
+    dip_flag,
+    step_flag,
+    with_flatline_flag,
+    with_gap_and_dip_parallel,
+)
 from olympian_spark.operators.rollup import (
     _DEFAULT_MAX_CHUNK_ROWS,
     rollup_1m,
@@ -121,31 +126,38 @@ def build_tiers(
         "conv_id", "turn_idx", "ts", "role", "tool",
         F.length(F.coalesce(F.col("text"), F.lit(""))).cast("float").alias("text_len"),
     )
+    sorted_handle = None
     if fused:
-        # Pin the stage-1 exchange with an EXPLICIT conv_id repartition the
-        # QC windows then reuse (same key -> no second shuffle). Without it
-        # AQE coalesces the window shuffle by BYTES — sorted narrow turn
-        # rows compress to ~1 byte/row, so a 16M-turn stage collapsed to 10
-        # partitions and the CPU-bound window+kernel stage ran ~10-way on
-        # 32 cores. User-specified partition counts are exempt from AQE
-        # coalescing; on a real cluster 2x defaultParallelism scales with
-        # the executor fleet. Applied on the KERNEL branch only — the
-        # dimension rollups (separate actions, no cross-job shuffle reuse)
-        # keep the shuffle-free scan-side lineage.
-        n_part = 2 * df.sparkSession.sparkContext.defaultParallelism
-        kernel_in = pre.repartition(n_part, "conv_id").drop("role", "tool")
+        # Stage 1 (round 6): turn_gap_s + flag_dip come from a RANGE-
+        # partitioned parallel sort + 2-row boundary stitch
+        # (with_gap_and_dip_parallel) instead of per-conversation windows.
+        # Window semantics require a whole conversation per partition, so a
+        # pathologically hot conversation serializes stage 1 behind one
+        # task (measured: 146s of a 223s 64M-turn pipeline, two
+        # conversations holding 91% of rows); the range sort spreads the
+        # sort across every partition and the dip flag is a 5-row stencil
+        # that only needs each partition's edge rows stitched with its
+        # neighbours'. Flag/gap parity with the window path is tested
+        # directly; tier output stays bit-identical to the cascade. The
+        # explicit n_part also sidesteps AQE's byte-based coalescing
+        # (sorted narrow rows compress to ~1 byte/row, which once starved
+        # this stage to 10 partitions on 32 cores). turns_flagged (below)
+        # and the cascade path keep the window formulation.
+        slim, sorted_handle = with_gap_and_dip_parallel(
+            pre.drop("role", "tool"), params.dip_high, params.dip_max
+        )
     else:
         pre = mat(pre)
-        kernel_in = pre
-    # QC flags over the narrow frame. No flag_step/flag_flatline in the
-    # projection — tier measures filter on flag_dip alone, and column
-    # pruning then lets Catalyst drop the flatline check's second window
-    # (cumsum run-ids + a per-run count needs an extra sort pass over every
-    # turn). Consumers that want the full flag set read `turns_flagged`,
-    # which keeps all three (and text) lazily over the original input.
-    slim = qc_flags(kernel_in, params).select(
-        "conv_id", "turn_idx", "ts", "turn_gap_s", "text_len", "flag_dip"
-    )
+        # QC flags over the narrow frame. No flag_step/flag_flatline in the
+        # projection — tier measures filter on flag_dip alone, and column
+        # pruning then lets Catalyst drop the flatline check's second window
+        # (cumsum run-ids + a per-run count needs an extra sort pass over
+        # every turn). Consumers that want the full flag set read
+        # `turns_flagged`, which keeps all three (and text) lazily over the
+        # original input.
+        slim = qc_flags(pre, params).select(
+            "conv_id", "turn_idx", "ts", "turn_gap_s", "text_len", "flag_dip"
+        )
     if fused:
         # slim has a single consumer (the fused kernel) -> no cache for it.
         # The kernel does NOT ride the window exchange (assume_clustered
@@ -201,7 +213,11 @@ def build_tiers(
     return {
         "turns_flagged": flagged,  # full width (text kept), not cached
         "_slim": pre,
-        **({"_tagged": tagged, "_dims": dims} if fused else {}),
+        **(
+            {"_tagged": tagged, "_dims": dims, "_sorted": sorted_handle}
+            if fused
+            else {}
+        ),
         "tier_1m": t1m,
         "tier_1h": t1h,
         "tier_1d": t1d,

@@ -148,7 +148,7 @@ def refresh_tiers(
     for table in DIM_TABLES:
         commit(table, tiers[table], new_days, [])  # flag-independent: no boundary
 
-    for t in ("_slim", "_tagged", "_dims", "tier_1m", "tier_1h"):
+    for t in ("_slim", "_tagged", "_dims", "_sorted", "tier_1m", "tier_1h"):
         try:
             tiers[t].unpersist()
         except KeyError:

@@ -130,12 +130,19 @@ class ParquetManifestCatalog:
             elif op == "rollback":
                 live = ParquetManifestCatalog._fold(snaps, as_of=snap["target"])
             elif op in ("overwrite_partitions", "compact", "base"):
+                if op == "base":
+                    # a "base" record (manifest checkpoint) IS the complete
+                    # state at its id — it replaces, never merges. This
+                    # matters when a checkpoint preserves tagged states as
+                    # earlier base records: partitions live in a tag but
+                    # dropped since must not leak into later states.
+                    live = {}
                 for p, rec in snap["partitions"].items():
                     live[p] = {
                         **rec,
-                        # a "base" record (manifest checkpoint) carries each
-                        # partition's owning data directory explicitly; live
-                        # commits own every partition they list
+                        # a "base" record carries each partition's owning
+                        # data directory explicitly; live commits own every
+                        # partition they list
                         "snapshot_id": rec.get("data_snapshot_id", snap["snapshot_id"]),
                         "partition_col": rec.get(
                             "partition_col", snap.get("partition_col", "bucket_date")
@@ -411,34 +418,76 @@ class ParquetManifestCatalog:
         owning data directory via ``data_snapshot_id``), the last input
         watermark, and the recorded retention cutoffs. Snapshot ids stay
         monotonic; time travel before the checkpoint is gone (as after
-        ``expire_snapshots``).
+        ``expire_snapshots``) EXCEPT tagged states, which are preserved as
+        base-style records at their original ids so tag reads and their
+        vacuum protection survive the squash.
         """
+        snaps0 = self._load_manifest(table)["snapshots"]
         live = self.committed_partitions(table)
         wm = self.input_watermark(table)
         cutoffs = {}
-        for s in self._load_manifest(table)["snapshots"]:
+        for s in snaps0:
             if s["op"] == "retention_delete":
                 pc = s.get("partition_col", "bucket_date")
                 cutoffs[pc] = max(cutoffs.get(pc, ""), s["cutoff"])
             elif s["op"] == "base":
                 for pc, c in s.get("retention_cutoffs", {}).items():
                     cutoffs[pc] = max(cutoffs.get(pc, ""), c)
+        # Tags survive the checkpoint: capture each live tag's target state
+        # WHILE the history can still be folded; it is re-emitted below as a
+        # base-style record at the target's id plus a fresh tag record, so
+        # resolve_tag/read_tag keep working and the next expire_snapshots
+        # still sees the tagged states as reachable (the documented
+        # "protected from vacuuming" guarantee).
+        tags: dict[str, int] = {}
+        for s in snaps0:
+            if s["op"] == "tag":
+                tags[s["tag_name"]] = s["target"]  # latest record wins
+
+        def _base_map(state: dict) -> dict:
+            out = {}
+            for p, rec in state.items():
+                r = dict(rec)
+                r["data_snapshot_id"] = r.pop("snapshot_id")
+                out[p] = r
+            return out
+
+        tag_states = {
+            t: _base_map(self._fold(snaps0, as_of=t)) for t in set(tags.values())
+        }
         self.expire_snapshots(table, keep_last=0)
         last_id = self._load_manifest(table)["snapshots"][-1]["snapshot_id"]
-        base = {}
-        for p, rec in live.items():
-            r = dict(rec)
-            r["data_snapshot_id"] = r.pop("snapshot_id")
-            base[p] = r
+        now = datetime.now(timezone.utc).isoformat()
         snap = {
             "snapshot_id": last_id + 1,
             "op": "base",
-            "committed_at": datetime.now(timezone.utc).isoformat(),
-            "partitions": base,
+            "committed_at": now,
+            "partitions": _base_map(live),
             "input_watermark": wm,
             "retention_cutoffs": cutoffs,
         }
-        m = {"table": table, "snapshots": [snap]}
+        records = [
+            {
+                "snapshot_id": t,
+                "op": "base",
+                "committed_at": now,
+                "partitions": state,
+            }
+            for t, state in sorted(tag_states.items())
+        ]
+        records.append(snap)
+        records += [
+            {
+                "snapshot_id": last_id + 2 + i,
+                "op": "tag",
+                "committed_at": now,
+                "partitions": {},
+                "tag_name": name,
+                "target": target,
+            }
+            for i, (name, target) in enumerate(sorted(tags.items()))
+        ]
+        m = {"table": table, "snapshots": records}
         tmp = self._manifest_path(table) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)

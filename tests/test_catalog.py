@@ -547,6 +547,13 @@ def test_incremental_exact_dedup_cdc(spark, tmp_path):
     }
     assert got_idx == got
 
+    # a no-op day (nothing changed since head) returns ZERO rows, not a
+    # crash — the daily incremental job must survive quiet days
+    head = cat.current_snapshot("docs")["snapshot_id"]
+    quiet = incremental_exact_dedup(cat, "docs", head)
+    assert quiet.count() == 0
+    assert quiet.columns == ["fingerprint", "keep_doc_id", "n_docs"]
+
 
 def test_diff_snapshots_across_rollback(spark, tmp_path):
     """CDC folds rollback records: diffing from a pre-rollback snapshot to
@@ -699,3 +706,35 @@ def test_optimize_table_one_call(spark, tmp_path):
     assert cat.verify_table("t")["ok"]
     rep2 = cat.optimize_table("t", target_file_bytes=8_000, keep_last=0)
     assert not rep2["compacted"]  # already compacted: no rewrite
+
+
+def test_tags_survive_checkpoint_manifest_and_later_vacuum(spark, tmp_path):
+    """Manifest checkpoint must carry live tags through the squash: the tag
+    still resolves, its state still reads, its files survive BOTH the
+    checkpoint's own vacuum and a LATER expire_snapshots(keep_last=0), and
+    partitions live only in the tagged state never leak into the current
+    state (base records replace, not merge)."""
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "ckpt_tags"))
+    mk = lambda rows: spark.createDataFrame(rows, "k string, bucket_date string, v int")
+    s1 = cat.overwrite_partitions(
+        "t", mk([("a", "2024-01-01", 1), ("b", "2024-01-02", 10)])
+    )
+    cat.tag_snapshot("t", "v1.0")
+    cat.delete_where_older("t", cutoff="2024-01-02")  # drop 01-01 from live
+    cat.overwrite_partitions("t", mk([("a", "2024-01-02", 2)]))
+    cat.overwrite_partitions("t", mk([("a", "2024-01-02", 3)]))
+
+    cat.checkpoint_manifest("t")
+    # tag still resolves + reads the pinned state
+    assert cat.resolve_tag("t", "v1.0") == s1["snapshot_id"]
+    assert sorted(r.v for r in cat.read_tag("t", "v1.0").collect()) == [1, 10]
+    # the expired partition lives ONLY in the tag, not the current state
+    assert sorted(r.v for r in cat.read("t").collect()) == [3]
+    # a later vacuum must still treat the tagged state as reachable
+    cat.expire_snapshots("t", keep_last=0)
+    assert sorted(r.v for r in cat.read_tag("t", "v1.0").collect()) == [1, 10]
+    assert sorted(r.v for r in cat.read("t").collect()) == [3]
+    # optimize_table's checkpoint-over path must not break tags either
+    cat.overwrite_partitions("t", mk([("a", "2024-01-02", 4)]))
+    cat.optimize_table("t", checkpoint_over=1, keep_last=0)
+    assert sorted(r.v for r in cat.read_tag("t", "v1.0").collect()) == [1, 10]

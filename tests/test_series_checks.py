@@ -134,3 +134,54 @@ def test_nan_semantics(spark):
         .collect()
     )
     assert [r.f for r in out] == step_check(vals, 1, HIGH, MAX)
+
+
+def test_gap_and_dip_parallel_matches_window_path(spark):
+    """The range-sort + boundary-stitch stage-1 (with_gap_and_dip_parallel)
+    must reproduce the window formulation's turn_gap_s and flag_dip exactly
+    — including across partition seams (forced small n_part so many
+    conversations straddle boundaries) and under conversation skew."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from olympian_spark.datagen import gen_transcripts
+    from olympian_spark.operators.qc_series import (
+        dip_flag,
+        with_gap_and_dip_parallel,
+    )
+
+    pdf = gen_transcripts(
+        n_turns=20_000, n_convs=30, seed=29, hot_conv_share=0.35
+    ).to_pandas()
+    df = spark.createDataFrame(pdf).select(
+        "conv_id", "turn_idx", "ts",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("float").alias("text_len"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = F.col("ts").cast("timestamp")
+    ref = df.withColumn(
+        "turn_gap_s",
+        ((F.unix_micros(t) - F.unix_micros(F.lag(t).over(w))).cast("double") / 1e6)
+        .cast("float"),
+    ).withColumn("flag_dip", dip_flag("turn_gap_s", "conv_id", "turn_idx", 300.0, 1200.0))
+
+    got, handle = with_gap_and_dip_parallel(df, 300.0, 1200.0, n_part=11)
+    a = ref.select("conv_id", "turn_idx", "turn_gap_s", "flag_dip").orderBy(
+        "conv_id", "turn_idx"
+    ).collect()
+    b = got.select("conv_id", "turn_idx", "turn_gap_s", "flag_dip").orderBy(
+        "conv_id", "turn_idx"
+    ).collect()
+    handle.unpersist()
+    assert len(a) == len(b) == 20_000
+    for ra, rb in zip(a, b):
+        assert (ra.conv_id, ra.turn_idx) == (rb.conv_id, rb.turn_idx)
+        assert ra.flag_dip == rb.flag_dip, (ra, rb)
+        ga, gb = ra.turn_gap_s, rb.turn_gap_s
+        if ga is None:
+            assert gb is None or np.isnan(gb)  # NULL <-> NaN carrier
+        else:
+            assert gb is not None and (
+                np.float32(ga).view(np.uint32) == np.float32(gb).view(np.uint32)
+            )
